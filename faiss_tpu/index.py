@@ -1,0 +1,352 @@
+"""TpuIndexFlat — the flat (brute-force) exact-search index.
+
+≈ MetalIndexFlat (include/faiss-metal/MetalIndexFlat.h:47-121,
+src/MetalIndexFlat.mm). API parity map:
+
+    reference                           here
+    ---------                           ----
+    MetalIndexFlat(res, d, metric,      TpuIndexFlat(d, metric=..., storage=...,
+                   StorageType)                      resources=...)
+    add(n, x)                           add(x)
+    search(n, x, k, D, I)               search(x, k) -> (D, I)
+    searchAsync(...) -> token           search_async(x, k) -> TpuSearchToken
+    reset()                             reset()
+    reconstruct(key, out)               reconstruct(key) -> np.ndarray
+    getVectorsData()                    vectors_numpy()  (None for bf16/f16)
+    isFloat16Storage()/getStorageType   storage_type property
+    setForceMPS(bool)                   set_force_xla(bool)  (cross-path testing)
+    index_cpu_to_metal/metal_to_cpu     index_cpu_to_tpu/index_tpu_to_cpu
+                                        (+ index_numpy_to_tpu, no faiss needed)
+
+Behavioral parity (SURVEY.md §2.3):
+  * the whole search is ONE jitted XLA program — distance GEMM + norm epilogue
+    + top-k with no host round-trips (reference: one MTLCommandBuffer,
+    src/MetalIndexFlat.mm:358-381);
+  * k is clamped to ntotal with sentinel fill beyond (+inf/-inf distance,
+    label −1; mm:328-337, :384-400); empty index returns all sentinels;
+  * per-shard ids are int32 internally, widened to int64 for the user
+    (mm:384-400); unlike the reference, k > 8 large-k selection is exact
+    (fixes the block_select LOCAL_K=8 truncation, SURVEY.md §2.3.1);
+  * norms precomputed fp32 before storage quantization (storage.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dtypes import MetricType, StorageType, worst_distance
+from .ops import distance as dist_ops
+from .ops import topk as topk_ops
+from .resources import TpuResources, default_resources
+from .storage import ROW_TILE, DeviceStore, _round_up
+
+# Static-shape compile policy: queries padded to a multiple of this many rows.
+NQ_PAD = 8
+
+# Cap on nq·nv·d elements for the direct (per-pair, unexpanded) L2 path
+# (reference gates on nv ≤ 256 — MetalDistance.mm:238; we additionally bound
+# the materialized (nq, nv, d) difference tensor).
+DIRECT_PATH_MAX_ELEMS = 1 << 24
+
+
+def _build_search_fn(
+    *,
+    nv_eff: int,
+    d_pad: int,
+    nq_pad: int,
+    k: int,
+    metric: MetricType,
+    use_direct: bool,
+    chunk: int,
+):
+    """Compile one search pipeline for a static (nv_eff, nq_pad, k) shape.
+
+    Returns fn(db, norms, queries, ntotal) -> (distances (nq_pad,k) f32,
+    labels (nq_pad,k) i32). `db` is (capacity, d_pad); only the first nv_eff
+    rows participate. Sentinels are applied on device.
+    """
+    k_eff = min(k, nv_eff)
+
+    def fn(db, norms, queries, ntotal):
+        def masked_block(start, width):
+            """(nq_pad, width) scores for db rows [start, start+width),
+            padding/invalid columns −inf. `start` may be traced."""
+            dbs = jax.lax.dynamic_slice_in_dim(db, start, width, axis=0)
+            if use_direct and metric is MetricType.L2:
+                s = dist_ops.direct_l2_scores(queries, dbs)
+            else:
+                ns = jax.lax.dynamic_slice_in_dim(norms, start, width, axis=0)
+                s = dist_ops.matmul_scores(queries, dbs, ns, metric)
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1) + start
+            return jnp.where(col < ntotal, s, -jnp.inf)
+
+        if nv_eff > chunk:
+            # Two-stage streaming path: never materializes (nq, nv_eff).
+            nfull = nv_eff // chunk
+            prefix = nfull * chunk
+            vals, ids = topk_ops.chunked_topk_scores(
+                lambda start: masked_block(start, chunk), prefix, chunk, k_eff
+            )
+            tail = nv_eff - prefix
+            if tail:
+                tv, ti = topk_ops.topk_scores(
+                    masked_block(prefix, tail), min(k_eff, tail)
+                )
+                vals, ids = topk_ops.merge_topk(vals, ids, tv, ti + prefix, k_eff)
+        else:
+            vals, ids = topk_ops.topk_scores(masked_block(0, nv_eff), k_eff)
+
+        valid = (ids >= 0) & (ids < ntotal) & (vals > -jnp.inf)
+        dists = dist_ops.scores_to_distances(vals, metric)
+        dists = jnp.where(valid, dists, worst_distance(metric))
+        ids = jnp.where(valid, ids, jnp.int32(-1))
+        if k_eff < k:  # k > nv_eff: sentinel-fill the tail (static shapes)
+            pad_d = jnp.full((nq_pad, k - k_eff), worst_distance(metric), jnp.float32)
+            pad_i = jnp.full((nq_pad, k - k_eff), -1, jnp.int32)
+            dists = jnp.concatenate([dists, pad_d], axis=-1)
+            ids = jnp.concatenate([ids, pad_i], axis=-1)
+        return dists, ids
+
+    return jax.jit(fn)
+
+
+class TpuSearchToken:
+    """Async search handle (≈ MetalSearchToken, MetalIndexFlat.h:15-36).
+
+    JAX dispatch is natively asynchronous: `search_async` returns as soon as
+    the XLA program is enqueued; the device arrays held here own the result
+    buffers (the reference's token owns its per-call MTLBuffers,
+    src/MetalIndexFlat.mm:17-33). Multiple tokens may be in flight and waited
+    in any order. `wait()` blocks and returns (D, I); `is_ready()` polls.
+    """
+
+    def __init__(self, dists: jax.Array, labels: jax.Array, nq: int):
+        self._dists = dists
+        self._labels = labels
+        self._nq = nq
+        self._result: Optional[Tuple[np.ndarray, np.ndarray]] = None
+
+    def wait(self) -> Tuple[np.ndarray, np.ndarray]:
+        if self._result is None:
+            d = np.asarray(jax.device_get(self._dists))[: self._nq]
+            i = np.asarray(jax.device_get(self._labels))[: self._nq]
+            self._result = (
+                np.ascontiguousarray(d, dtype=np.float32),
+                np.ascontiguousarray(i, dtype=np.int64),
+            )
+            self._dists = self._labels = None  # release device buffers
+        return self._result
+
+    def is_ready(self) -> bool:
+        if self._result is not None:
+            return True
+        try:
+            return bool(self._dists.is_ready() and self._labels.is_ready())
+        except AttributeError:  # fallback for runtimes without is_ready()
+            return True
+
+
+class TpuIndexFlat:
+    """Flat exact-search index on TPU. See module docstring for parity map."""
+
+    def __init__(
+        self,
+        d: int,
+        metric=MetricType.L2,
+        storage=StorageType.FLOAT32,
+        resources: Optional[TpuResources] = None,
+    ):
+        self.metric = MetricType.coerce(metric)
+        self.storage_type = StorageType.coerce(storage)
+        self.res = resources if resources is not None else default_resources()
+        self.store = DeviceStore(
+            d, self.storage_type, self.metric, device=self.res.default_device
+        )
+        self.is_trained = True  # flat indexes need no training (faiss parity)
+        self._force_xla = False
+
+    # -- faiss-style properties ------------------------------------------------
+    @property
+    def d(self) -> int:
+        return self.store.d
+
+    @property
+    def ntotal(self) -> int:
+        return self.store.ntotal
+
+    def is_float16_storage(self) -> bool:
+        return self.storage_type is StorageType.FLOAT16
+
+    def is_bfloat16_storage(self) -> bool:
+        return self.storage_type is StorageType.BFLOAT16
+
+    def set_force_xla(self, force: bool) -> None:
+        """Force the plain-XLA path even where a Pallas kernel exists
+        (≈ setForceMPS — cross-path differential testing,
+        MetalIndexFlat.h:106)."""
+        self._force_xla = bool(force)
+
+    # -- mutation ---------------------------------------------------------------
+    def add(self, x: np.ndarray) -> None:
+        self.store.add(x)
+
+    def reset(self) -> None:
+        self.store.reset()
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        return self.store.reconstruct(key)
+
+    def reconstruct_n(self, i0: int, n: int) -> np.ndarray:
+        return self.store.reconstruct_n(i0, n)
+
+    def vectors_numpy(self) -> Optional[np.ndarray]:
+        return self.store.vectors_numpy()
+
+    # -- search -------------------------------------------------------------------
+    def _prep_queries(self, x: np.ndarray) -> Tuple[jax.Array, int, int]:
+        x = np.ascontiguousarray(x, dtype=np.float32)
+        if x.ndim == 1:
+            x = x[None, :]
+        if x.ndim != 2 or x.shape[1] != self.d:
+            raise ValueError(f"expected (n, {self.d}) queries, got {x.shape}")
+        nq = x.shape[0]
+        nq_pad = max(NQ_PAD, _round_up(nq, NQ_PAD))
+        q = jnp.asarray(x)
+        if nq_pad != nq:
+            q = jnp.pad(q, ((0, nq_pad - nq), (0, 0)))
+        q = self.store.pad_queries(q)
+        return jax.device_put(q, self.res.default_device), nq, nq_pad
+
+    def _empty_result(self, nq: int, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        d = np.full((nq, k), worst_distance(self.metric), np.float32)
+        i = np.full((nq, k), -1, np.int64)
+        return d, i
+
+    def _search_device(self, x: np.ndarray, k: int):
+        """Enqueue the search; returns unrealized device arrays + nq."""
+        if k <= 0:
+            raise ValueError(f"k must be positive, got {k}")
+        q, nq, nq_pad = self._prep_queries(x)
+        if self.ntotal == 0:
+            return None, nq, nq_pad  # resolved on host, reference mm:328-334
+        nv_eff = _round_up(self.ntotal, ROW_TILE)
+        tuning = self.res.capabilities.tuning
+        use_direct = (
+            self.metric is MetricType.L2
+            and nv_eff <= dist_ops.DIRECT_PATH_MAX_NV * 4
+            and nq_pad * nv_eff * self.store.d_pad <= DIRECT_PATH_MAX_ELEMS
+        )
+        key = (
+            "flat_search", nv_eff, self.store.d_pad, nq_pad, int(k),
+            self.metric, self.storage_type, use_direct, tuning.chunk_v,
+            self._force_xla,
+        )
+        fn = self.res.cached(
+            key,
+            lambda: _build_search_fn(
+                nv_eff=nv_eff,
+                d_pad=self.store.d_pad,
+                nq_pad=nq_pad,
+                k=int(k),
+                metric=self.metric,
+                use_direct=use_direct,
+                chunk=tuning.chunk_v,
+            ),
+        )
+        dists, labels = fn(
+            self.store.db, self.store.norms, q, jnp.int32(self.ntotal)
+        )
+        return (dists, labels), nq, nq_pad
+
+    def search(self, x: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact top-k search. Returns (distances f32 (nq,k), labels i64 (nq,k))."""
+        out, nq, _ = self._search_device(x, k)
+        if out is None:
+            return self._empty_result(nq, k)
+        return TpuSearchToken(out[0], out[1], nq).wait()
+
+    def search_async(self, x: np.ndarray, k: int) -> TpuSearchToken:
+        """Non-blocking search (≈ searchAsync, MetalIndexFlat.mm:403-490)."""
+        out, nq, _ = self._search_device(x, k)
+        if out is None:
+            tok = TpuSearchToken.__new__(TpuSearchToken)
+            tok._dists = tok._labels = None
+            tok._nq = nq
+            tok._result = self._empty_result(nq, k)
+            return tok
+        return TpuSearchToken(out[0], out[1], nq)
+
+    def describe(self) -> str:
+        """Observability hook (≈ describeCapabilities +
+        the index's own config; SURVEY.md §5.5)."""
+        return (
+            f"TpuIndexFlat(d={self.d}, metric={self.metric.value}, "
+            f"storage={self.storage_type.value}, ntotal={self.ntotal}, "
+            f"capacity={self.store.capacity}, d_pad={self.store.d_pad}, "
+            f"force_xla={self._force_xla})\n" + self.res.describe()
+        )
+
+
+# -- conversions (≈ index_cpu_to_metal / index_metal_to_cpu,
+#    src/MetalIndexFlat.mm:552-587) ------------------------------------------
+
+
+def index_numpy_to_tpu(
+    xb: np.ndarray,
+    metric=MetricType.L2,
+    storage=StorageType.FLOAT32,
+    resources: Optional[TpuResources] = None,
+) -> TpuIndexFlat:
+    """Build a TpuIndexFlat directly from an (n, d) fp32 matrix."""
+    xb = np.ascontiguousarray(xb, dtype=np.float32)
+    idx = TpuIndexFlat(xb.shape[1], metric=metric, storage=storage,
+                       resources=resources)
+    idx.add(xb)
+    return idx
+
+
+def _faiss():
+    try:
+        import faiss  # type: ignore
+        return faiss
+    except ImportError as e:
+        raise ImportError(
+            "faiss is not installed; use index_numpy_to_tpu / vectors_numpy "
+            "for numpy-based interchange"
+        ) from e
+
+
+def index_cpu_to_tpu(
+    cpu_index,
+    storage=StorageType.FLOAT32,
+    resources: Optional[TpuResources] = None,
+) -> TpuIndexFlat:
+    """CPU faiss.IndexFlat → TpuIndexFlat (copies vectors to device)."""
+    faiss = _faiss()
+    metric = (MetricType.L2 if cpu_index.metric_type == faiss.METRIC_L2
+              else MetricType.INNER_PRODUCT)
+    xb = cpu_index.reconstruct_n(0, cpu_index.ntotal)
+    idx = TpuIndexFlat(cpu_index.d, metric=metric, storage=storage,
+                       resources=resources)
+    idx.add(np.asarray(xb, dtype=np.float32).reshape(cpu_index.ntotal, cpu_index.d))
+    return idx
+
+
+def index_tpu_to_cpu(tpu_index: TpuIndexFlat):
+    """TpuIndexFlat → CPU faiss.IndexFlat. fp32 storage round-trips exactly;
+    reduced precision goes through decode (reconstruct), like the reference's
+    per-vector slow path (MetalIndexFlat.mm:567-587)."""
+    faiss = _faiss()
+    metric = (faiss.METRIC_L2 if tpu_index.metric is MetricType.L2
+              else faiss.METRIC_INNER_PRODUCT)
+    cpu = faiss.IndexFlat(tpu_index.d, metric)
+    if tpu_index.ntotal:
+        xb = tpu_index.vectors_numpy()
+        if xb is None:
+            xb = tpu_index.reconstruct_n(0, tpu_index.ntotal)
+        cpu.add(xb)
+    return cpu

@@ -1,0 +1,105 @@
+"""Distance stage — XLA reference path ("the MPS-path analog").
+
+≈ MetalDistance (src/MetalDistance.{h,mm}): the reference dispatches among an
+MPS GEMM path, custom simdgroup GEMM tiles (32×32 / 64×64, f32/f16/bf16
+storage), and a direct per-pair kernel for tiny nv (MetalDistance.mm:107-323).
+On TPU the "library GEMM" analog is plain ``lax.dot_general`` — XLA maps it to
+the MXU and fuses the ±2α scaling and the norm-broadcast epilogue, so the
+reference's separate ``broadcast_sum_l2`` pass (shaders/broadcast_sum.metal)
+never exists as its own kernel here.
+
+This module is the forever differential oracle for the Pallas kernels
+(the same role the forced-MPS path plays in the reference's cross-path tests,
+tests/test_metal_distance.mm:233-337).
+
+Conventions
+-----------
+Everything downstream works on *scores* where larger is better:
+  L2 : score = −(‖q‖² − 2·q·v + ‖v‖²)   (negated squared distance)
+  IP : score =  q·v
+Invalid (padding) columns get −inf so top-k naturally ranks them last, which
+implements the reference's k>ntotal sentinel-fill semantics
+(src/MetalIndexFlat.mm:384-400) with static shapes inside jit.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..dtypes import MetricType
+from . import l2norm
+
+# Problem-size heuristics, named like the reference's dispatch constants
+# (MetalDistance.mm:238 — direct path when nv≤256; :258 — large tile gate;
+# :346-353 — fused gate nq·nv ≥ 8e6 ∧ nq ≤ 4 ∧ k ≤ 32).
+DIRECT_PATH_MAX_NV = 256          # tiny-db: skip the MXU, do exact per-pair L2
+FUSED_MIN_WORK = 8_000_000        # min nq·nv before the streaming fused kernel pays
+
+
+def matmul_scores(
+    queries: jax.Array,           # (nq, d) fp32
+    db: jax.Array,                # (nv, d) storage dtype (f32/bf16/f16)
+    db_norms: Optional[jax.Array],  # (nv,) fp32, required for L2
+    metric: MetricType,
+) -> jax.Array:
+    """(nq, nv) fp32 scores via one MXU GEMM + fused epilogue.
+
+    Low-precision storage: queries are cast to the storage dtype for the GEMM
+    (halving HBM traffic on the big operand is the win — reference
+    simdgroup_gemm.metal:303 reads B as half directly), with fp32 accumulation
+    via ``preferred_element_type`` (the MXU accumulates fp32 natively, like the
+    reference's fp32 simdgroup accumulators, simdgroup_gemm.metal:45-55).
+    """
+    if db.dtype == jnp.float32:
+        q = queries
+        # True fp32 quality: on TPU the default matmul precision is a single
+        # bf16 MXU pass (~5e-3 rel err); HIGHEST runs the multi-pass fp32
+        # algorithm. The reference's "fp32" GEMM is actually f16-multiply /
+        # f32-accumulate (simdgroup_gemm.metal:26-138) — our *reduced* storage
+        # path below is its true analog; fp32 storage here is strictly better.
+        precision = jax.lax.Precision.HIGHEST
+    else:
+        q = queries.astype(db.dtype)
+        # bf16/f16 inputs: one MXU pass multiplies them exactly, fp32 accumulate.
+        precision = jax.lax.Precision.DEFAULT
+    dots = jax.lax.dot_general(
+        q, db,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    if metric is MetricType.INNER_PRODUCT:
+        return dots
+    # L2: score = −‖q−v‖² = 2·q·v − ‖q‖² − ‖v‖²  (norm epilogue fused by XLA;
+    # ≈ simdgroup_gemm_l2_fused's store-loop epilogue, simdgroup_gemm.metal:241-252)
+    if db_norms is None:
+        db_norms = l2norm.l2_norm_squared(db)
+    q_norms = l2norm.l2_norm_squared(queries)
+    return 2.0 * dots - q_norms[:, None] - db_norms[None, :]
+
+
+def direct_l2_scores(queries: jax.Array, db: jax.Array) -> jax.Array:
+    """Exact per-pair −‖q−v‖², materializing (nq, nv, d) differences.
+
+    ≈ l2_distance_direct_f16 (shaders/l2_norm_f16.metal:74-123), which the
+    reference prefers for nv ≤ 256 for accuracy (no catastrophic cancellation
+    from the expanded form). Only for tiny nv.
+    """
+    diff = queries[:, None, :].astype(jnp.float32) - db[None, :, :].astype(jnp.float32)
+    return -jnp.sum(diff * diff, axis=-1)
+
+
+def mask_scores(scores: jax.Array, ntotal, nv_padded: int) -> jax.Array:
+    """−inf out padding columns (ids ≥ ntotal). ntotal may be traced."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, nv_padded), 1)
+    return jnp.where(col < ntotal, scores, -jnp.inf)
+
+
+def scores_to_distances(scores: jax.Array, metric: MetricType) -> jax.Array:
+    """Convert internal max-is-best scores back to user-facing distances."""
+    if metric is MetricType.L2:
+        return -scores
+    return scores

@@ -1,0 +1,328 @@
+"""ShardedIndexFlat — flat exact search over a database sharded across chips.
+
+Architecture (SURVEY.md §5.8; BASELINE.json config 5):
+  * one ``DeviceStore`` per device holds that shard's vectors/norms, plus a
+    global-id column. Ids are int32 on device — the same 2^31−1 total-size
+    ABI as the reference (src/MetalIndexFlat.mm:323-326) — and widened to
+    int64 at the host API boundary (TpuSearchToken.wait);
+  * ``add`` splits each batch contiguously across shards (balanced to ±1
+    row-block) and appends on each device — no host-side reshuffling;
+  * ``search`` is ONE jitted ``shard_map`` program over the 1-D mesh:
+    local distance GEMM + local exact top-k → gid gather →
+    ``jax.lax.all_gather`` of the (k dists, k gids) lists over ICI →
+    k-merge on every chip (replicated output). The merge is O(P·k), so
+    scaling with P is near-linear until nq·k·P rivals the local scan.
+
+Tested without real multi-chip hardware via XLA host-device emulation
+(``--xla_force_host_platform_device_count=8`` — tests/conftest.py), the same
+strategy SURVEY.md §4 prescribes.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..dtypes import MetricType, StorageType, worst_distance
+from ..ops import distance as dist_ops
+from ..ops import topk as topk_ops
+from ..resources import TpuResources, default_resources
+from ..storage import ROW_TILE, DeviceStore, _round_up
+from ..index import NQ_PAD, TpuSearchToken
+
+AXIS = TpuResources.SHARD_AXIS
+
+
+def _build_sharded_search_fn(
+    *,
+    mesh: jax.sharding.Mesh,
+    nv_eff: int,        # per-shard effective rows (static)
+    nq_pad: int,
+    k: int,
+    metric: MetricType,
+    chunk: int,
+):
+    """One shard_map program: local scan+select, ICI all-gather, k-merge."""
+    k_local = min(k, nv_eff)
+
+    def per_device(db, norms, gids, ntotal_local, queries):
+        # db: (cap_local, d_pad), norms/gids: (cap_local,), ntotal_local: (1,)
+        # queries: (nq_pad, d_pad) replicated.
+        nt = ntotal_local[0]
+
+        def masked_block(start, width):
+            dbs = jax.lax.dynamic_slice_in_dim(db, start, width, axis=0)
+            ns = jax.lax.dynamic_slice_in_dim(norms, start, width, axis=0)
+            s = dist_ops.matmul_scores(queries, dbs, ns, metric)
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1) + start
+            return jnp.where(col < nt, s, -jnp.inf)
+
+        if nv_eff > chunk:
+            nfull = nv_eff // chunk
+            prefix = nfull * chunk
+            vals, ids = topk_ops.chunked_topk_scores(
+                lambda start: masked_block(start, chunk), prefix, chunk, k_local
+            )
+            tail = nv_eff - prefix
+            if tail:
+                tv, ti = topk_ops.topk_scores(
+                    masked_block(prefix, tail), min(k_local, tail)
+                )
+                vals, ids = topk_ops.merge_topk(vals, ids, tv, ti + prefix, k_local)
+        else:
+            vals, ids = topk_ops.topk_scores(masked_block(0, nv_eff), k_local)
+
+        # local int32 ids → global ids (−1 stays −1); device ids are int32
+        # (2^31−1 total cap, matching the reference ABI — MetalIndexFlat.mm:323-326)
+        # and widened to int64 on host at the API boundary (TpuSearchToken).
+        valid = (ids >= 0) & (ids < nt) & (vals > -jnp.inf)
+        safe = jnp.clip(ids, 0, db.shape[0] - 1)
+        g = jnp.where(valid, jnp.take(gids, safe, axis=0), jnp.int32(-1))
+
+        # ICI merge: all_gather the tiny k-lists, every chip merges identically.
+        av = jax.lax.all_gather(vals, AXIS)   # (P, nq_pad, k_local)
+        ag = jax.lax.all_gather(g, AXIS)
+        P_ = av.shape[0]
+        av = jnp.moveaxis(av, 0, 1).reshape(nq_pad, P_ * k_local)
+        ag = jnp.moveaxis(ag, 0, 1).reshape(nq_pad, P_ * k_local)
+        k_out = min(k, P_ * k_local)
+        top_vals, pos = jax.lax.top_k(av, k_out)
+        top_gids = jnp.take_along_axis(ag, pos, axis=-1)
+
+        ok = (top_gids >= 0) & (top_vals > -jnp.inf)
+        dists = dist_ops.scores_to_distances(top_vals, metric)
+        dists = jnp.where(ok, dists, worst_distance(metric))
+        top_gids = jnp.where(ok, top_gids, jnp.int32(-1))
+        if k_out < k:
+            pad_d = jnp.full((nq_pad, k - k_out), worst_distance(metric), jnp.float32)
+            pad_i = jnp.full((nq_pad, k - k_out), -1, jnp.int32)
+            dists = jnp.concatenate([dists, pad_d], axis=-1)
+            top_gids = jnp.concatenate([top_gids, pad_i], axis=-1)
+        return dists, top_gids
+
+    fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+class _ShardStore:
+    """One shard: a DeviceStore pinned to a device + its int32 gid column."""
+
+    def __init__(self, d: int, storage: StorageType, metric: MetricType, device):
+        self.store = DeviceStore(d, storage, metric, device=device)
+        self.gids: Optional[jax.Array] = None  # (capacity,) int32, −1 padding
+        self.device = device
+
+    def add(self, x: np.ndarray, gids: np.ndarray) -> None:
+        old_cap = self.store.capacity
+        off = self.store.ntotal
+        self.store.add(x)
+        if self.store.capacity != old_cap or self.gids is None:
+            new_g = jnp.full((self.store.capacity,), -1, jnp.int32)
+            if self.gids is not None:
+                new_g = jax.lax.dynamic_update_slice(new_g, self.gids, (0,))
+            self.gids = jax.device_put(new_g, self.device)
+        self.gids = jax.device_put(
+            jax.lax.dynamic_update_slice(
+                self.gids, jnp.asarray(gids, jnp.int32), (off,)
+            ),
+            self.device,
+        )
+
+    def reset(self):
+        self.store.reset()
+        self.gids = None
+
+
+class ShardedIndexFlat:
+    """Flat index sharded across a 1-D device mesh. API mirrors TpuIndexFlat."""
+
+    def __init__(
+        self,
+        d: int,
+        metric=MetricType.L2,
+        storage=StorageType.FLOAT32,
+        resources: Optional[TpuResources] = None,
+        num_shards: Optional[int] = None,
+    ):
+        self.metric = MetricType.coerce(metric)
+        self.storage_type = StorageType.coerce(storage)
+        self.res = resources if resources is not None else default_resources()
+        n = num_shards or len(self.res.devices)
+        self.mesh = self.res.mesh(n)
+        self.devices = list(self.mesh.devices.flat)
+        self.shards: List[_ShardStore] = [
+            _ShardStore(d, self.storage_type, self.metric, dev)
+            for dev in self.devices
+        ]
+        self.d = int(d)
+        self.ntotal = 0
+        self._next_shard = 0  # round-robin start for balanced contiguous splits
+        self._assembled = None  # cached (db, norms, gids, ntotals) global arrays
+        self.is_trained = True
+
+    @property
+    def num_shards(self) -> int:
+        return len(self.shards)
+
+    # -- mutation ---------------------------------------------------------------
+    def add(self, x: np.ndarray) -> None:
+        x = np.ascontiguousarray(x, dtype=np.float32)
+        if x.ndim != 2 or x.shape[1] != self.d:
+            raise ValueError(f"expected (n, {self.d}) array, got {x.shape}")
+        n = x.shape[0]
+        if n == 0:
+            return
+        if self.ntotal + n > np.iinfo(np.int32).max:
+            raise ValueError(
+                "total index size would exceed 2^31-1 (int32 device ids; "
+                "same limit as the reference, MetalIndexFlat.mm:323-326)"
+            )
+        p = self.num_shards
+        # contiguous split, balanced to ±1, rotating the remainder start
+        base, rem = divmod(n, p)
+        counts = [base + (1 if (i - self._next_shard) % p < rem else 0)
+                  for i in range(p)]
+        self._next_shard = (self._next_shard + rem) % p
+        off = 0
+        gid0 = self.ntotal
+        for i, c in enumerate(counts):
+            if c == 0:
+                continue
+            self.shards[i].add(
+                x[off : off + c],
+                np.arange(gid0 + off, gid0 + off + c, dtype=np.int32),
+            )
+            off += c
+        self.ntotal += n
+        self._assembled = None
+
+    def reset(self) -> None:
+        for s in self.shards:
+            s.reset()
+        self.ntotal = 0
+        self._next_shard = 0
+        self._assembled = None
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        """Decode one vector by global id (scans shard gid columns)."""
+        if not (0 <= key < self.ntotal):
+            raise IndexError(f"key {key} out of range [0, {self.ntotal})")
+        for s in self.shards:
+            if s.store.ntotal == 0:
+                continue
+            g = np.asarray(jax.device_get(s.gids[: s.store.ntotal]))
+            hit = np.nonzero(g == key)[0]
+            if hit.size:
+                return s.store.reconstruct(int(hit[0]))
+        raise KeyError(f"global id {key} not found")
+
+    # -- assembly: per-device buffers → one sharded global array (no copies) -----
+    def _assemble(self):
+        if self._assembled is not None:
+            return self._assembled
+        cap = max(s.store.capacity for s in self.shards)
+        cap = max(cap, ROW_TILE)
+        for s in self.shards:  # equalize capacities so the global array is regular
+            s.store._ensure_capacity(cap)
+            if s.gids is None or s.gids.shape[0] < cap:
+                g = jnp.full((cap,), -1, jnp.int32)
+                if s.gids is not None:
+                    g = jax.lax.dynamic_update_slice(g, s.gids, (0,))
+                s.gids = jax.device_put(g, s.device)
+        p = self.num_shards
+        d_pad = self.shards[0].store.d_pad
+        dtype = self.shards[0].store.dtype
+
+        def global_arr(pieces, shape_tail, gdtype):
+            gshape = (p * cap,) + shape_tail
+            sharding = NamedSharding(self.mesh, P(AXIS))
+            if len(shape_tail):
+                sharding = NamedSharding(self.mesh, P(AXIS, *([None] * len(shape_tail))))
+            return jax.make_array_from_single_device_arrays(
+                gshape, sharding, pieces
+            )
+
+        db = global_arr([s.store.db for s in self.shards], (d_pad,), dtype)
+        norms = global_arr([s.store.norms for s in self.shards], (), jnp.float32)
+        gids = global_arr([s.gids for s in self.shards], (), jnp.int32)
+        ntotals = jax.device_put(
+            np.asarray([s.store.ntotal for s in self.shards], np.int32),
+            NamedSharding(self.mesh, P(AXIS)),
+        )
+        self._assembled = (db, norms, gids, ntotals, cap)
+        return self._assembled
+
+    # -- search -------------------------------------------------------------------
+    def _prep_queries(self, x: np.ndarray) -> Tuple[jax.Array, int, int]:
+        x = np.ascontiguousarray(x, dtype=np.float32)
+        if x.ndim == 1:
+            x = x[None, :]
+        if x.ndim != 2 or x.shape[1] != self.d:
+            raise ValueError(f"expected (n, {self.d}) queries, got {x.shape}")
+        nq = x.shape[0]
+        nq_pad = max(NQ_PAD, _round_up(nq, NQ_PAD))
+        q = jnp.asarray(x)
+        if nq_pad != nq:
+            q = jnp.pad(q, ((0, nq_pad - nq), (0, 0)))
+        q = self.shards[0].store.pad_queries(q)
+        q = jax.device_put(q, NamedSharding(self.mesh, P(None, None)))
+        return q, nq, nq_pad
+
+    def _search_device(self, x: np.ndarray, k: int):
+        if k <= 0:
+            raise ValueError(f"k must be positive, got {k}")
+        q, nq, nq_pad = self._prep_queries(x)
+        if self.ntotal == 0:
+            return None, nq, nq_pad
+        db, norms, gids, ntotals, cap = self._assemble()
+        max_local = max(s.store.ntotal for s in self.shards)
+        nv_eff = min(cap, _round_up(max(max_local, 1), ROW_TILE))
+        chunk = self.res.capabilities.tuning.chunk_v
+        key = ("sharded_search", self.num_shards, nv_eff, cap,
+               self.shards[0].store.d_pad, nq_pad, int(k), self.metric,
+               self.storage_type, chunk)
+        fn = self.res.cached(
+            key,
+            lambda: _build_sharded_search_fn(
+                mesh=self.mesh, nv_eff=nv_eff, nq_pad=nq_pad, k=int(k),
+                metric=self.metric, chunk=chunk,
+            ),
+        )
+        dists, glabels = fn(db, norms, gids, ntotals, q)
+        return (dists, glabels), nq, nq_pad
+
+    def search(self, x: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        out, nq, _ = self._search_device(x, k)
+        if out is None:
+            d = np.full((nq, k), worst_distance(self.metric), np.float32)
+            return d, np.full((nq, k), -1, np.int64)
+        return TpuSearchToken(out[0], out[1], nq).wait()
+
+    def search_async(self, x: np.ndarray, k: int) -> TpuSearchToken:
+        out, nq, _ = self._search_device(x, k)
+        if out is None:
+            tok = TpuSearchToken.__new__(TpuSearchToken)
+            tok._dists = tok._labels = None
+            tok._nq = nq
+            d = np.full((nq, k), worst_distance(self.metric), np.float32)
+            tok._result = (d, np.full((nq, k), -1, np.int64))
+            return tok
+        return TpuSearchToken(out[0], out[1], nq)
+
+    def describe(self) -> str:
+        per = [s.store.ntotal for s in self.shards]
+        return (
+            f"ShardedIndexFlat(d={self.d}, metric={self.metric.value}, "
+            f"storage={self.storage_type.value}, ntotal={self.ntotal}, "
+            f"shards={self.num_shards}, per_shard={per})\n" + self.res.describe()
+        )

@@ -1,0 +1,209 @@
+"""Device/resource layer: capabilities probe, mesh, compiled-program cache.
+
+TPU-native rebuild of the reference's L1 resource layer:
+  * ``TpuDeviceCapabilities`` ≈ MetalDeviceCapabilities
+    (include/faiss-metal/MetalDeviceCapabilities.h:23-65 — runtime hardware
+    detection driving kernel/tile selection). On TPU the "generation" is the
+    device kind (v4 / v5e / v5p / v6e / CPU-emulation) and the tunables are
+    Pallas block shapes + VMEM budget instead of simdgroup features.
+  * ``TpuResources`` ≈ MetalResources/StandardMetalResources
+    (include/faiss-metal/MetalResources.h:38-54,
+    src/StandardMetalResources.mm:10-45): owns the devices, the 1-D mesh used
+    for database sharding, and the compiled-function cache. The reference's
+    pipeline-state-object construction at index creation corresponds to jit
+    trace/compile warm-up here; its MTLResidencySet pre-paging is automatic on
+    TPU (device arrays live in HBM).
+  * ``describe_capabilities`` ≈ describeCapabilities()
+    (src/MetalDeviceCapabilities.mm:98-124) — the observability hook.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelTuning:
+    """Per-device-kind Pallas/XLA tile parameters.
+
+    The reference selects among 15 pipeline-state objects by generation
+    (MetalDistance.mm:11-103, :225-323). On TPU that machinery collapses to a
+    small set of block-shape defaults; XLA autotunes the rest.
+    """
+
+    # MXU-aligned distance-GEMM tile (rows = queries, cols = db vectors).
+    block_q: int = 128
+    block_v: int = 1024
+    # Contraction (d) tile; d is usually small enough to keep whole.
+    block_d: int = 512
+    # VMEM budget the fused kernel may assume (bytes). ~16 MB/core typical;
+    # leave headroom for double buffering.
+    vmem_budget: int = 12 * 1024 * 1024
+    # nv chunk size for the two-stage (chunked) top-k path.
+    chunk_v: int = 256 * 1024
+
+
+_KIND_TUNING = {
+    # Conservative defaults; keys matched by substring of device_kind.lower().
+    "v6": KernelTuning(block_q=256, block_v=2048),
+    "v5p": KernelTuning(block_q=256, block_v=2048),
+    "v5": KernelTuning(),          # v5e / v5 lite
+    "v4": KernelTuning(),
+    "cpu": KernelTuning(block_q=128, block_v=512, chunk_v=64 * 1024,
+                        vmem_budget=4 * 1024 * 1024),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class TpuDeviceCapabilities:
+    """Runtime hardware description (≈ MetalDeviceCapabilities)."""
+
+    platform: str                 # "tpu" | "cpu" | "gpu"
+    device_kind: str              # e.g. "TPU v5 lite"
+    num_devices: int
+    num_local_devices: int
+    is_tpu: bool
+    hbm_bytes: Optional[int]      # per-device, if the runtime reports it
+    supports_bfloat16_matmul: bool
+    mxu_dim: int                  # systolic array edge (128)
+    lane_width: int               # VPU lane count (128)
+    sublanes_f32: int             # min sublane tile for f32 (8)
+    tuning: KernelTuning
+
+    def describe(self) -> str:
+        lines = [
+            "faiss_tpu device capabilities:",
+            f"  platform            : {self.platform}",
+            f"  device_kind         : {self.device_kind}",
+            f"  num_devices         : {self.num_devices}"
+            f" (local {self.num_local_devices})",
+            f"  hbm_bytes/device    : {self.hbm_bytes}",
+            f"  bf16 matmul         : {self.supports_bfloat16_matmul}",
+            f"  mxu / lanes / subl  : {self.mxu_dim} / {self.lane_width}"
+            f" / {self.sublanes_f32}",
+            f"  tuning              : {self.tuning}",
+        ]
+        return "\n".join(lines)
+
+
+def _probe_hbm_bytes(device) -> Optional[int]:
+    try:
+        stats = device.memory_stats()
+        if stats and "bytes_limit" in stats:
+            return int(stats["bytes_limit"])
+    except Exception:
+        pass
+    return None
+
+
+def query_device_capabilities(
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> TpuDeviceCapabilities:
+    """Probe the runtime (≈ queryDeviceCapabilities, MetalDeviceCapabilities.mm:8-96)."""
+    devices = list(devices) if devices is not None else list(jax.devices())
+    d0 = devices[0]
+    kind = getattr(d0, "device_kind", d0.platform)
+    platform = d0.platform
+    kind_l = (kind or platform).lower()
+    tuning = _KIND_TUNING["cpu" if platform == "cpu" else "v5"]
+    for key, t in _KIND_TUNING.items():
+        if key in kind_l:
+            tuning = t
+            break
+    return TpuDeviceCapabilities(
+        platform=platform,
+        device_kind=kind,
+        num_devices=len(devices),
+        num_local_devices=len([d for d in devices
+                               if d.process_index == jax.process_index()]),
+        is_tpu=(platform == "tpu"),
+        hbm_bytes=_probe_hbm_bytes(d0),
+        supports_bfloat16_matmul=True,   # MXU-native on all TPU gens; fine on CPU too
+        mxu_dim=128,
+        lane_width=128,
+        sublanes_f32=8,
+        tuning=tuning,
+    )
+
+
+def describe_capabilities(caps: Optional[TpuDeviceCapabilities] = None) -> str:
+    return (caps or query_device_capabilities()).describe()
+
+
+class TpuResources:
+    """Resource manager: devices + 1-D mesh + compiled-fn cache.
+
+    ≈ StandardMetalResources (src/StandardMetalResources.mm:10-45): one object
+    users share across indexes. Thread-safe cache; construction is cheap (jit
+    compilation happens lazily on first search, like the reference's lazy
+    first-dispatch warm-up).
+    """
+
+    SHARD_AXIS = "shards"
+
+    def __init__(self, devices: Optional[Sequence[jax.Device]] = None):
+        self._devices = list(devices) if devices is not None else list(jax.devices())
+        if not self._devices:
+            raise RuntimeError("no JAX devices available")
+        self._caps = query_device_capabilities(self._devices)
+        self._cache: Dict[Any, Any] = {}
+        self._lock = threading.Lock()
+        self._mesh: Optional[jax.sharding.Mesh] = None
+
+    # -- devices / mesh ------------------------------------------------------
+    @property
+    def devices(self):
+        return self._devices
+
+    @property
+    def capabilities(self) -> TpuDeviceCapabilities:
+        return self._caps
+
+    @property
+    def default_device(self) -> jax.Device:
+        return self._devices[0]
+
+    def mesh(self, n: Optional[int] = None) -> jax.sharding.Mesh:
+        """1-D mesh over the database (nv) axis."""
+        if n is None:
+            n = len(self._devices)
+        if self._mesh is None or self._mesh.devices.size != n:
+            self._mesh = jax.sharding.Mesh(
+                np.asarray(self._devices[:n]), (self.SHARD_AXIS,)
+            )
+        return self._mesh
+
+    # -- compiled-program cache ---------------------------------------------
+    def cached(self, key, builder):
+        """Return cache[key], building it under the lock if absent."""
+        with self._lock:
+            fn = self._cache.get(key)
+            if fn is None:
+                fn = builder()
+                self._cache[key] = fn
+            return fn
+
+    def cache_info(self) -> Dict[str, int]:
+        with self._lock:
+            return {"entries": len(self._cache)}
+
+    def describe(self) -> str:
+        return self._caps.describe() + f"\n  fn-cache entries    : {self.cache_info()['entries']}"
+
+
+_default_resources: Optional[TpuResources] = None
+_default_lock = threading.Lock()
+
+
+def default_resources() -> TpuResources:
+    """Process-wide default (≈ MetalContext::instance(), src/MetalContext.mm:8-11)."""
+    global _default_resources
+    with _default_lock:
+        if _default_resources is None:
+            _default_resources = TpuResources()
+        return _default_resources

@@ -1,0 +1,187 @@
+"""Device-side vector storage with amortized growth.
+
+≈ MetalTensor<T,Dim> (src/MetalTensor.h) + MetalIndexFlat's add()/grow logic
+(src/MetalIndexFlat.mm:185-311):
+  * capacity grows by doubling with a 1024-row floor, copying old data
+    (reference mm:194-219) — here the copy is a donated, jitted
+    ``dynamic_update_slice`` so XLA reuses the HBM allocation when it can;
+  * vectors are stored in the chosen precision (f32/bf16/f16) while database
+    L2 norms are computed in fp32 *before* quantization for accuracy
+    (reference mm:258-267, README.md:170) and only for METRIC_L2;
+  * dtype conversion is round-to-nearest-even on device (the reference does an
+    RNE bit-trick on host CPU, mm:226-243; XLA's convert_element_type is RNE);
+  * TPU layout: rows are padded to a row-tile multiple and the feature dim is
+    padded to the 128-lane boundary so Pallas kernels always see aligned
+    tiles. Padding rows are zero and masked out by id at select time.
+
+The reference's MTLResidencySet pre-paging (StandardMetalResources.mm:83-91)
+has no analog: jax.Arrays are HBM-resident by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dtypes import MetricType, StorageType
+
+MIN_CAPACITY = 1024     # reference: MetalIndexFlat.mm:199 (max(1024, 2*cap))
+ROW_TILE = 1024         # capacity granularity; keeps nv aligned for chunked/Pallas paths
+LANE = 128              # TPU lane width; d padded to this
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+_JNP_DTYPE = {
+    StorageType.FLOAT32: jnp.float32,
+    StorageType.FLOAT16: jnp.float16,
+    StorageType.BFLOAT16: jnp.bfloat16,
+}
+
+
+@jax.jit
+def _norms_f32(x: jax.Array) -> jax.Array:
+    return jnp.sum(x * x, axis=-1, dtype=jnp.float32)
+
+
+def _append_fn(db, norms, vecs, new_norms, offset):
+    """Donated in-place append of n rows at `offset` (traced as dynamic)."""
+    db = jax.lax.dynamic_update_slice(db, vecs, (offset, 0))
+    norms = jax.lax.dynamic_update_slice(norms, new_norms, (offset,))
+    return db, norms
+
+
+_append_jit = jax.jit(_append_fn, donate_argnums=(0, 1))
+
+
+def _grow_fn(old_db, old_norms, new_capacity: int):
+    db = jnp.zeros((new_capacity, old_db.shape[1]), old_db.dtype)
+    norms = jnp.zeros((new_capacity,), jnp.float32)
+    db = jax.lax.dynamic_update_slice(db, old_db, (0, 0))
+    norms = jax.lax.dynamic_update_slice(norms, old_norms, (0,))
+    return db, norms
+
+
+_grow_jit = jax.jit(_grow_fn, static_argnums=(2,), donate_argnums=(0, 1))
+
+
+class DeviceStore:
+    """Grow-able (capacity, d_pad) device matrix + fp32 norms.
+
+    ``db``/``norms`` are plain jax.Arrays; ``ntotal`` is a host int (the
+    authoritative count, like faiss::Index::ntotal). Capacity is static per
+    allocation so searches recompile only when capacity doubles.
+    """
+
+    def __init__(
+        self,
+        d: int,
+        storage: StorageType = StorageType.FLOAT32,
+        metric: MetricType = MetricType.L2,
+        device: Optional[jax.Device] = None,
+    ):
+        if d <= 0:
+            raise ValueError(f"d must be positive, got {d}")
+        self.d = int(d)
+        self.d_pad = _round_up(self.d, LANE)
+        self.storage = storage
+        self.metric = metric
+        self.dtype = _JNP_DTYPE[storage]
+        self.device = device
+        self.ntotal = 0
+        self.capacity = 0
+        self.db: Optional[jax.Array] = None       # (capacity, d_pad) self.dtype
+        self.norms: Optional[jax.Array] = None    # (capacity,) f32; zeros for IP
+
+    # -- helpers --------------------------------------------------------------
+    def _put(self, x):
+        if self.device is not None:
+            return jax.device_put(x, self.device)
+        return jax.device_put(x)
+
+    def _alloc(self, capacity: int) -> None:
+        self.db = self._put(jnp.zeros((capacity, self.d_pad), self.dtype))
+        self.norms = self._put(jnp.zeros((capacity,), jnp.float32))
+        self.capacity = capacity
+
+    def _ensure_capacity(self, needed: int) -> None:
+        if needed <= self.capacity:
+            return
+        new_cap = max(MIN_CAPACITY, _round_up(needed, ROW_TILE))
+        if self.capacity > 0:
+            new_cap = max(new_cap, 2 * self.capacity)  # amortized doubling
+            self.db, self.norms = _grow_jit(self.db, self.norms, new_cap)
+            self.capacity = new_cap
+        else:
+            self._alloc(new_cap)
+
+    def pad_queries(self, q: jax.Array) -> jax.Array:
+        """Pad (nq, d) fp32 queries to (nq, d_pad)."""
+        if self.d_pad == self.d:
+            return q
+        return jnp.pad(q, ((0, 0), (0, self.d_pad - self.d)))
+
+    # -- mutation -------------------------------------------------------------
+    def add(self, x: np.ndarray) -> None:
+        """Append n fp32 vectors. Norms computed pre-quantization (fp32)."""
+        x = np.ascontiguousarray(x, dtype=np.float32)
+        if x.ndim != 2 or x.shape[1] != self.d:
+            raise ValueError(f"expected (n, {self.d}) fp32 array, got {x.shape}")
+        n = x.shape[0]
+        if n == 0:
+            return
+        if self.ntotal + n > np.iinfo(np.int32).max:
+            # int32 id ABI, like the reference (MetalIndexFlat.mm:323-326).
+            # Shard across devices (ShardedIndexFlat) for larger totals.
+            raise ValueError("index size would exceed 2^31-1 vectors (int32 ids)")
+        self._ensure_capacity(self.ntotal + n)
+        xd = self._put(jnp.asarray(x))
+        if self.metric is MetricType.L2:
+            new_norms = _norms_f32(xd)  # fp32, BEFORE quantization
+        else:
+            new_norms = jnp.zeros((n,), jnp.float32)
+        if self.d_pad != self.d:
+            xd = jnp.pad(xd, ((0, 0), (0, self.d_pad - self.d)))
+        vecs = xd.astype(self.dtype)  # RNE, on device
+        self.db, self.norms = _append_jit(
+            self.db, self.norms, vecs, new_norms, self.ntotal
+        )
+        self.ntotal += n
+
+    def reset(self) -> None:
+        """Drop all vectors and release device memory (≈ MetalIndexFlat::reset,
+        src/MetalIndexFlat.mm:492-506)."""
+        self.db = None
+        self.norms = None
+        self.ntotal = 0
+        self.capacity = 0
+
+    # -- access ---------------------------------------------------------------
+    def reconstruct(self, key: int) -> np.ndarray:
+        """Fetch one stored vector, decoded to fp32 (≈ mm:508-527)."""
+        if not (0 <= key < self.ntotal):
+            raise IndexError(f"key {key} out of range [0, {self.ntotal})")
+        row = jax.device_get(self.db[key, : self.d].astype(jnp.float32))
+        return np.asarray(row, dtype=np.float32)
+
+    def reconstruct_n(self, i0: int, n: int) -> np.ndarray:
+        if not (0 <= i0 and i0 + n <= self.ntotal):
+            raise IndexError(f"range [{i0}, {i0 + n}) out of [0, {self.ntotal})")
+        rows = jax.device_get(self.db[i0 : i0 + n, : self.d].astype(jnp.float32))
+        return np.asarray(rows, dtype=np.float32)
+
+    def vectors_numpy(self) -> Optional[np.ndarray]:
+        """fp32 storage only: the raw vectors (≈ getVectorsData, which returns
+        nullptr for reduced precision — MetalIndexFlat.h:96-98)."""
+        if self.storage is not StorageType.FLOAT32:
+            return None
+        if self.ntotal == 0:
+            return np.zeros((0, self.d), np.float32)
+        return np.asarray(
+            jax.device_get(self.db[: self.ntotal, : self.d]), dtype=np.float32
+        )

@@ -1,0 +1,113 @@
+"""Sharded multi-device search tests (8 emulated CPU devices, SURVEY.md §4).
+
+No reference counterpart — faiss-metal is single-device. Acceptance:
+the sharded index must return the SAME results as the single-device index
+(and the numpy oracle), including global int64 ids, for any add pattern.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from faiss_tpu import ShardedIndexFlat, TpuIndexFlat
+
+from common import compare_results, make_data, numpy_search, recall_at_k
+
+NDEV = len(jax.devices())
+
+
+@pytest.fixture(autouse=True)
+def require_multi_device():
+    assert NDEV >= 2, "conftest must provide emulated multi-device CPU"
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_sharded_matches_oracle(metric):
+    xb, xq = make_data(5000, 16, 64)
+    idx = ShardedIndexFlat(64, metric=metric)
+    idx.add(xb)
+    assert idx.num_shards == NDEV
+    D, I = idx.search(xq, 10)
+    Dr, Ir = numpy_search(xb, xq, 10, metric=metric)
+    tol = 1e-3 if metric == "l2" else 1e-2
+    compare_results(D, I, Dr, Ir, dist_tol=tol, k=10, label=f"sharded {metric}")
+    assert recall_at_k(I, Ir, 10) == 1.0
+
+
+def test_sharded_matches_single_device():
+    xb, xq = make_data(4000, 8, 96)
+    sharded = ShardedIndexFlat(96)
+    sharded.add(xb)
+    single = TpuIndexFlat(96)
+    single.add(xb)
+    Ds, Is = sharded.search(xq, 10)
+    D1, I1 = single.search(xq, 10)
+    np.testing.assert_array_equal(Is, I1)
+    np.testing.assert_allclose(Ds, D1, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_incremental_adds():
+    rng = np.random.default_rng(3)
+    d = 32
+    idx = ShardedIndexFlat(d)
+    chunks = [rng.standard_normal((n, d), dtype=np.float32)
+              for n in [5, 100, 1, 3000, 17]]
+    for c in chunks:
+        idx.add(c)
+    xb = np.concatenate(chunks)
+    assert idx.ntotal == xb.shape[0]
+    xq = rng.standard_normal((6, d), dtype=np.float32)
+    D, I = idx.search(xq, 20)
+    Dr, Ir = numpy_search(xb, xq, 20)
+    compare_results(D, I, Dr, Ir, dist_tol=1e-3, k=20, label="sharded adds",
+                    check_top1=True)
+    assert recall_at_k(I, Ir, 20) == 1.0
+
+
+def test_sharded_k_greater_than_ntotal():
+    xb, xq = make_data(5, 2, 16)  # fewer rows than shards → empty shards
+    idx = ShardedIndexFlat(16)
+    idx.add(xb)
+    D, I = idx.search(xq, 12)
+    Dr, Ir = numpy_search(xb, xq, 12)
+    compare_results(D, I, Dr, Ir, dist_tol=1e-3, k=12, label="sharded k>n")
+    assert (I[:, 5:] == -1).all()
+
+
+def test_sharded_empty():
+    idx = ShardedIndexFlat(16)
+    D, I = idx.search(np.zeros((3, 16), np.float32), 4)
+    assert (I == -1).all() and np.isposinf(D).all()
+
+
+def test_sharded_large_k():
+    xb, xq = make_data(4000, 4, 32)
+    idx = ShardedIndexFlat(32)
+    idx.add(xb)
+    k = 512
+    D, I = idx.search(xq, k)
+    Dr, Ir = numpy_search(xb, xq, k)
+    assert recall_at_k(I, Ir, k) == 1.0
+
+
+def test_sharded_reduced_precision():
+    xb, xq = make_data(3000, 8, 64)
+    idx = ShardedIndexFlat(64, storage="bfloat16")
+    idx.add(xb)
+    D, I = idx.search(xq, 10)
+    Dr, Ir = numpy_search(xb, xq, 10)
+    compare_results(D, I, Dr, Ir, dist_tol=5e-2, k=10, label="sharded bf16")
+    np.testing.assert_array_equal(I[:, 0], Ir[:, 0])
+
+
+def test_sharded_reconstruct_and_reset():
+    xb, _ = make_data(100, 1, 24)
+    idx = ShardedIndexFlat(24)
+    idx.add(xb)
+    for key in [0, 57, 99]:
+        np.testing.assert_array_equal(idx.reconstruct(key), xb[key])
+    idx.reset()
+    assert idx.ntotal == 0
+    idx.add(xb[:10])
+    np.testing.assert_array_equal(idx.reconstruct(3), xb[3])
