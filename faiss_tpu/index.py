@@ -40,6 +40,7 @@ import numpy as np
 
 from .dtypes import MetricType, StorageType, worst_distance
 from .ops import distance as dist_ops
+from .ops import pallas_fused
 from .ops import topk as topk_ops
 from .resources import TpuResources, default_resources
 from .storage import ROW_TILE, DeviceStore, _round_up
@@ -61,7 +62,9 @@ def _build_search_fn(
     k: int,
     metric: MetricType,
     use_direct: bool,
+    use_fused: bool,
     chunk: int,
+    interpret: bool = False,
 ):
     """Compile one search pipeline for a static (nv_eff, nq_pad, k) shape.
 
@@ -71,7 +74,34 @@ def _build_search_fn(
     """
     k_eff = min(k, nv_eff)
 
+    def _finalize(vals, ids, ntotal):
+        """Shared sentinel mapping + k>nv_eff padding (reference mm:384-400)."""
+        valid = (ids >= 0) & (ids < ntotal) & (vals > -jnp.inf)
+        dists = dist_ops.scores_to_distances(vals, metric)
+        dists = jnp.where(valid, dists, worst_distance(metric))
+        ids = jnp.where(valid, ids, jnp.int32(-1))
+        if k_eff < k:  # k > nv_eff: sentinel-fill the tail (static shapes)
+            pad_d = jnp.full((nq_pad, k - k_eff), worst_distance(metric),
+                             jnp.float32)
+            pad_i = jnp.full((nq_pad, k - k_eff), -1, jnp.int32)
+            dists = jnp.concatenate([dists, pad_d], axis=-1)
+            ids = jnp.concatenate([ids, pad_i], axis=-1)
+        return dists, ids
+
     def fn(db, norms, queries, ntotal):
+        if use_fused:
+            # Pallas streaming kernel: group-max sweep + gather/rescore
+            # (never materializes nq×nv — ops/pallas_fused.py).
+            vals, ids = pallas_fused.fused_search(
+                queries, db, norms, ntotal,
+                k=k, metric=metric, nv_eff=nv_eff, interpret=interpret,
+            )
+            if metric is MetricType.L2:
+                # kernel scores omit the rank-invariant −‖q‖² term; restore it
+                qn = jnp.sum(queries * queries, axis=-1, dtype=jnp.float32)
+                vals = vals - qn[:, None]
+            return _finalize(vals, ids, ntotal)
+
         def masked_block(start, width):
             """(nq_pad, width) scores for db rows [start, start+width),
             padding/invalid columns −inf. `start` may be traced."""
@@ -100,16 +130,7 @@ def _build_search_fn(
         else:
             vals, ids = topk_ops.topk_scores(masked_block(0, nv_eff), k_eff)
 
-        valid = (ids >= 0) & (ids < ntotal) & (vals > -jnp.inf)
-        dists = dist_ops.scores_to_distances(vals, metric)
-        dists = jnp.where(valid, dists, worst_distance(metric))
-        ids = jnp.where(valid, ids, jnp.int32(-1))
-        if k_eff < k:  # k > nv_eff: sentinel-fill the tail (static shapes)
-            pad_d = jnp.full((nq_pad, k - k_eff), worst_distance(metric), jnp.float32)
-            pad_i = jnp.full((nq_pad, k - k_eff), -1, jnp.int32)
-            dists = jnp.concatenate([dists, pad_d], axis=-1)
-            ids = jnp.concatenate([ids, pad_i], axis=-1)
-        return dists, ids
+        return _finalize(vals, ids, ntotal)
 
     return jax.jit(fn)
 
@@ -240,10 +261,19 @@ class TpuIndexFlat:
             and nv_eff <= dist_ops.DIRECT_PATH_MAX_NV * 4
             and nq_pad * nv_eff * self.store.d_pad <= DIRECT_PATH_MAX_ELEMS
         )
+        use_fused = (
+            not self._force_xla
+            and not use_direct
+            and pallas_fused.fused_path_eligible(
+                metric=self.metric, k=int(k), nv_eff=nv_eff,
+                d_pad=self.store.d_pad,
+            )
+        )
+        interpret = not self.res.capabilities.is_tpu
         key = (
             "flat_search", nv_eff, self.store.d_pad, nq_pad, int(k),
-            self.metric, self.storage_type, use_direct, tuning.chunk_v,
-            self._force_xla,
+            self.metric, self.storage_type, use_direct, use_fused,
+            tuning.chunk_v, self._force_xla,
         )
         fn = self.res.cached(
             key,
@@ -254,7 +284,9 @@ class TpuIndexFlat:
                 k=int(k),
                 metric=self.metric,
                 use_direct=use_direct,
+                use_fused=use_fused,
                 chunk=tuning.chunk_v,
+                interpret=interpret,
             ),
         )
         dists, labels = fn(

@@ -1,0 +1,215 @@
+"""Fused Pallas MXU kernel: distance GEMM + group-max epilogue, no nq×nv.
+
+THE north-star kernel (SURVEY.md §7 / BASELINE.json): the TPU equivalent of
+the reference's fully fused ``fused_l2_topk`` shader
+(shaders/fused_l2_topk.metal:19-131) and of its fused-epilogue GEMMs
+(``simdgroup_gemm_l2_fused*``, simdgroup_gemm.metal:143-253) — the score
+matrix is never materialized in HBM, so a database sweep costs one read of
+the db tiles instead of read + 4·nq·nv bytes of score traffic.
+
+Exact selection via *grouped* top-k (ops/grouped refactor of MetalSelect):
+
+  phase 1 (this kernel)  per contiguous id-group of G columns, emit
+                         max score; L2 uses s' = 2·q·v − ‖v‖² (the per-row
+                         −‖q‖² term is rank-invariant and re-added outside)
+  phase 2 (XLA)          top-(k+pad) groups per query from the (nq, nv/G)
+                         group-max array — all true top-k elements provably
+                         live in the top-k groups (a group's max bounds every
+                         member, so k better group-maxes ⇒ k better elements)
+  phase 3 (XLA)          gather those groups' db rows, rescore with the same
+                         GEMM precision, exact top-k over ≤ (k+pad)·G
+                         candidates per query
+
+Tie-breaking matches ``lax.top_k``/the numpy oracle: groups are contiguous
+ascending-id column ranges and phase-2/3 use lax.top_k (lowest index wins),
+so ties resolve to the lowest global id. ``GROUP_PAD`` extra groups absorb
+float nondeterminism between the kernel dot and the rescore dot at the group
+boundary.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..dtypes import MetricType
+
+GROUP = 128           # columns per candidate group (= one lane row)
+GROUP_PAD = 4         # extra groups gathered beyond k (tie/epsilon safety)
+NEG_INF = float("-inf")
+
+# fused-path eligibility (dispatch heuristics, named like the reference's
+# MetalDistance.mm:344-353 gate constants)
+FUSED_MAX_K = 64      # beyond this, gather/rescore outgrows the streaming win
+FUSED_MIN_NV = 8192   # below this the plain XLA path is already tiny
+
+
+def _pick_block_v(d_pad: int, itemsize: int, nv: int) -> int:
+    """Largest db tile (rows) that keeps a double-buffered tile ≤ ~1.5 MB."""
+    budget = 1536 * 1024
+    for bv in (4096, 2048, 1024, 512, 256, 128):
+        if bv * d_pad * itemsize <= budget and nv % bv == 0:
+            return bv
+    return 128
+
+
+def _kernel(q_ref, db_ref, vn_ref, nt_ref, out_ref, *, metric, block_v,
+            nq_pad, precision):
+    """One nv tile: dots on the MXU, mask, group-max epilogue on the VPU."""
+    j = pl.program_id(1)
+    dots = jax.lax.dot_general(
+        q_ref[:], db_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    if metric is MetricType.L2:
+        s = 2.0 * dots - vn_ref[0, :][None, :]
+    else:
+        s = dots
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, block_v), 1) + j * block_v
+    s = jnp.where(col < nt_ref[0, 0], s, NEG_INF)
+    gm = jnp.max(s.reshape(nq_pad, block_v // GROUP, GROUP), axis=-1)
+    # output is (ngroups, nq) so every block is lane-legal for any nq_pad
+    out_ref[:] = gm.T
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "nv_eff", "interpret"),
+)
+def groupmax_scores(
+    queries: jax.Array,        # (nq_pad, d_pad) already cast to compute dtype
+    db: jax.Array,             # (capacity, d_pad) storage dtype
+    db_norms: jax.Array,       # (capacity,) f32 (zeros for IP)
+    ntotal: jax.Array,         # () or (1,) int32
+    *,
+    metric: MetricType,
+    nv_eff: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """(nq_pad, nv_eff/GROUP) per-group max of masked scores."""
+    nq_pad, d_pad = queries.shape
+    assert nq_pad % 8 == 0, nq_pad
+    assert nv_eff % GROUP == 0, nv_eff
+    db = jax.lax.slice_in_dim(db, 0, nv_eff, axis=0)
+    vn = jax.lax.slice_in_dim(db_norms, 0, nv_eff, axis=0).reshape(1, nv_eff)
+    block_v = _pick_block_v(d_pad, db.dtype.itemsize, nv_eff)
+    block_q = min(nq_pad, 128)
+    precision = (jax.lax.Precision.HIGHEST if db.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+    grid = (nq_pad // block_q, nv_eff // block_v)
+    ngroups_blk = block_v // GROUP
+
+    kernel = functools.partial(
+        _kernel, metric=metric, block_v=block_v, nq_pad=block_q,
+        precision=precision,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_q, d_pad), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_v, d_pad), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_v), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((ngroups_blk, block_q), lambda i, j: (j, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (nv_eff // GROUP, nq_pad), jnp.float32
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nq_pad * nv_eff * d_pad,
+            bytes_accessed=nv_eff * d_pad * db.dtype.itemsize
+            + nq_pad * d_pad * queries.dtype.itemsize
+            + nq_pad * (nv_eff // GROUP) * 4,
+            transcendentals=0,
+        ),
+    )(queries, db, vn, jnp.asarray(ntotal, jnp.int32).reshape(1, 1))
+    return out.T  # back to (nq_pad, ngroups)
+
+
+def fused_search(
+    queries_f32: jax.Array,    # (nq_pad, d_pad) fp32
+    db: jax.Array,             # (capacity, d_pad) storage dtype
+    db_norms: jax.Array,       # (capacity,) f32
+    ntotal: jax.Array,         # scalar int32 (traced)
+    *,
+    k: int,
+    metric: MetricType,
+    nv_eff: int,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Full fused path: kernel group-max → top groups → gather+rescore.
+
+    Returns (scores (nq_pad, k_eff) descending, ids (nq_pad, k_eff) int32,
+    −1-free; caller applies sentinel mapping). k_eff = min(k, nv_eff).
+    """
+    nq_pad, d_pad = queries_f32.shape
+    k_eff = min(k, nv_eff)
+    compute_dtype = db.dtype if db.dtype != jnp.float32 else jnp.float32
+    q_c = queries_f32.astype(compute_dtype)
+
+    # phase 1 — the Pallas sweep
+    gmax = groupmax_scores(
+        q_c, db, db_norms, ntotal,
+        metric=metric, nv_eff=nv_eff, interpret=interpret,
+    )
+    ngroups = nv_eff // GROUP
+
+    # phase 2 — top-(k+pad) groups, id-ascending for oracle tie order
+    kg = min(k_eff + GROUP_PAD, ngroups)
+    _, gidx = jax.lax.top_k(gmax, kg)              # (nq_pad, kg)
+    gidx = jnp.sort(gidx, axis=-1)
+
+    # phase 3 — gather candidate groups and rescore exactly. Groups are
+    # contiguous row-blocks, so reshaping db to one row per group makes every
+    # gathered element a single fat contiguous slice (measured ~6× faster
+    # than a row-granular take on v5e).
+    offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, GROUP), 2)
+    cols = (gidx[:, :, None] * GROUP + offs).reshape(nq_pad, kg * GROUP)
+    db_g = jax.lax.slice_in_dim(db, 0, nv_eff, axis=0).reshape(
+        ngroups, GROUP * d_pad
+    )
+    rows = jnp.take(db_g, gidx.reshape(-1), axis=0)
+    rows = rows.reshape(nq_pad, kg * GROUP, d_pad)
+    # Rescore in full fp32: exact w.r.t. the *stored* (possibly quantized)
+    # vectors, strictly more accurate than the bf16 sweep. The sweep only
+    # nominates groups; GROUP_PAD extra groups absorb its rounding at the
+    # selection boundary. Final distances are therefore fp32-true.
+    dots = jax.lax.dot_general(
+        queries_f32, rows.astype(jnp.float32),
+        dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                               # (nq_pad, kg*GROUP)
+    if metric is MetricType.L2:
+        vn_g = jax.lax.slice_in_dim(db_norms, 0, nv_eff, axis=0).reshape(
+            ngroups, GROUP
+        )
+        vn = jnp.take(vn_g, gidx.reshape(-1), axis=0)
+        s = 2.0 * dots - vn.reshape(nq_pad, kg * GROUP)
+    else:
+        s = dots
+    s = jnp.where(cols < ntotal, s, NEG_INF)
+    vals, pos = jax.lax.top_k(s, k_eff)
+    ids = jnp.take_along_axis(cols, pos, axis=-1)
+    return vals, ids
+
+
+def fused_path_eligible(*, metric: MetricType, k: int, nv_eff: int,
+                        d_pad: int) -> bool:
+    """Dispatch gate (≈ MetalDistance::encodeFused gate, mm:346-353 — but our
+    fused kernel handles all nq and both metrics, so the gate is only about
+    selection shape)."""
+    return k <= FUSED_MAX_K and nv_eff >= FUSED_MIN_NV and d_pad <= 2048

@@ -1,0 +1,120 @@
+"""Fused Pallas kernel tests (interpret mode on CPU; compiled path covered by
+the same code on TPU — cross-path consistency is the reference's forced-MPS
+pattern, tests/test_metal_distance.mm:233-337).
+
+The fused path = Pallas group-max sweep + top-group selection + fp32
+gather/rescore (ops/pallas_fused.py). It must match the plain XLA path
+(lax.top_k over the full score matrix) exactly for fp32 storage, including
+tie-breaking; reduced precision compares against the quantized-db oracle.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from faiss_tpu.dtypes import MetricType
+from faiss_tpu.ops import pallas_fused
+
+from common import make_data
+
+
+def _norms(db):
+    return jnp.sum(jnp.asarray(db, jnp.float32) ** 2, axis=-1)
+
+
+@pytest.mark.parametrize("metric", [MetricType.L2, MetricType.INNER_PRODUCT])
+def test_fused_matches_plain(metric):
+    xb, xq = make_data(16384, 16, 128)
+    db, q = jnp.asarray(xb), jnp.asarray(xq)
+    norms = _norms(db)
+    vals, ids = pallas_fused.fused_search(
+        q, db, norms, jnp.int32(16384), k=10, metric=metric,
+        nv_eff=16384, interpret=True,
+    )
+    s = np.asarray(q, np.float64) @ np.asarray(db, np.float64).T
+    if metric is MetricType.L2:
+        s = 2 * s - np.asarray(norms, np.float64)[None, :]
+    order = np.argsort(-s, axis=1, kind="stable")[:, :10]
+    np.testing.assert_array_equal(np.asarray(ids), order)
+    np.testing.assert_allclose(
+        np.asarray(vals), np.take_along_axis(s, order, 1), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_fused_tie_breaking():
+    """Duplicated vectors produce exact score ties; fused selection must
+    resolve them to the lowest id like lax.top_k / the oracle."""
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((4096, 64)).astype(np.float32)
+    xb = np.tile(base, (4, 1))  # every vector appears 4×
+    db = jnp.asarray(xb)
+    norms = _norms(db)
+    q = jnp.asarray(rng.standard_normal((8, 64)).astype(np.float32))
+    vals, ids = pallas_fused.fused_search(
+        q, db, norms, jnp.int32(xb.shape[0]), k=12, metric=MetricType.L2,
+        nv_eff=xb.shape[0], interpret=True,
+    )
+    s = 2 * (np.asarray(q) @ xb.T) - np.asarray(norms)[None, :]
+    sj = jnp.asarray(s)
+    vp, ip_ = jax.lax.top_k(sj, 12)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ip_))
+
+
+def test_fused_ntotal_mask():
+    xb, xq = make_data(16384, 8, 64)
+    db, q = jnp.asarray(xb), jnp.asarray(xq)
+    norms = _norms(db)
+    nt = 9000
+    vals, ids = pallas_fused.fused_search(
+        q, db, norms, jnp.int32(nt), k=10, metric=MetricType.L2,
+        nv_eff=16384, interpret=True,
+    )
+    ids = np.asarray(ids)
+    assert (ids < nt).all() and (ids >= 0).all()
+    s = 2 * (np.asarray(xq) @ xb[:nt].T) - np.asarray(norms)[None, :nt]
+    order = np.argsort(-s, axis=1, kind="stable")[:, :10]
+    np.testing.assert_array_equal(ids, order)
+
+
+def test_fused_bf16_storage():
+    xb, xq = make_data(16384, 8, 128)
+    db16 = jnp.asarray(xb).astype(jnp.bfloat16)
+    norms = _norms(db16)  # norms of the QUANTIZED vectors for the oracle
+    q = jnp.asarray(xq)
+    vals, ids = pallas_fused.fused_search(
+        q, db16, norms, jnp.int32(16384), k=10, metric=MetricType.L2,
+        nv_eff=16384, interpret=True,
+    )
+    dbq = np.asarray(db16.astype(jnp.float32), np.float64)
+    s = 2 * (np.asarray(xq, np.float64) @ dbq.T) - (dbq ** 2).sum(1)[None, :]
+    order = np.argsort(-s, axis=1, kind="stable")[:, :10]
+    # fp32 rescore makes the result exact w.r.t. the QUANTIZED database
+    np.testing.assert_array_equal(np.asarray(ids)[:, 0], order[:, 0])
+    got = set(map(tuple, np.sort(np.asarray(ids), 1)))
+    want = set(map(tuple, np.sort(order, 1)))
+    assert got == want  # same top-10 sets
+
+
+def test_fused_index_integration():
+    """TpuIndexFlat dispatches to the fused path and matches force_xla."""
+    from faiss_tpu import TpuIndexFlat
+
+    xb, xq = make_data(16384, 8, 64)
+    idx = TpuIndexFlat(64)
+    idx.add(xb)
+    D1, I1 = idx.search(xq, 10)   # fused (nv ≥ FUSED_MIN_NV, k ≤ FUSED_MAX_K)
+    idx.set_force_xla(True)
+    D2, I2 = idx.search(xq, 10)   # plain XLA
+    np.testing.assert_array_equal(I1, I2)
+    np.testing.assert_allclose(D1, D2, rtol=1e-5, atol=1e-4)
+
+
+def test_eligibility_gate():
+    assert pallas_fused.fused_path_eligible(
+        metric=MetricType.L2, k=10, nv_eff=1 << 20, d_pad=128)
+    assert not pallas_fused.fused_path_eligible(
+        metric=MetricType.L2, k=1024, nv_eff=1 << 20, d_pad=128)
+    assert not pallas_fused.fused_path_eligible(
+        metric=MetricType.L2, k=10, nv_eff=1024, d_pad=128)
