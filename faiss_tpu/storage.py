@@ -27,8 +27,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from .dtypes import MetricType, StorageType
+from . import native
 
 MIN_CAPACITY = 1024     # reference: MetalIndexFlat.mm:199 (max(1024, 2*cap))
+# Above this many elements, reduced-precision adds convert on the host with
+# the threaded C++ kernels (native/) so host→device transfer is 2 bytes/elem
+# instead of 4 (≈ the reference's GCD-parallel host conversion gate >100K,
+# src/MetalIndexFlat.mm:228-256).
+NATIVE_CONVERT_MIN_ELEMS = 1 << 20
 ROW_TILE = 1024         # capacity granularity; keeps nv aligned for chunked/Pallas paths
 LANE = 128              # TPU lane width; d padded to this
 
@@ -140,18 +146,43 @@ class DeviceStore:
             # Shard across devices (ShardedIndexFlat) for larger totals.
             raise ValueError("index size would exceed 2^31-1 vectors (int32 ids)")
         self._ensure_capacity(self.ntotal + n)
-        xd = self._put(jnp.asarray(x))
-        if self.metric is MetricType.L2:
-            new_norms = _norms_f32(xd)  # fp32, BEFORE quantization
+        if (self.storage is not StorageType.FLOAT32
+                and x.size >= NATIVE_CONVERT_MIN_ELEMS
+                and native.available()):
+            vecs, new_norms = self._convert_host(x)
         else:
-            new_norms = jnp.zeros((n,), jnp.float32)
-        if self.d_pad != self.d:
-            xd = jnp.pad(xd, ((0, 0), (0, self.d_pad - self.d)))
-        vecs = xd.astype(self.dtype)  # RNE, on device
+            xd = self._put(jnp.asarray(x))
+            if self.metric is MetricType.L2:
+                new_norms = _norms_f32(xd)  # fp32, BEFORE quantization
+            else:
+                new_norms = jnp.zeros((n,), jnp.float32)
+            if self.d_pad != self.d:
+                xd = jnp.pad(xd, ((0, 0), (0, self.d_pad - self.d)))
+            vecs = xd.astype(self.dtype)  # RNE, on device
         self.db, self.norms = _append_jit(
             self.db, self.norms, vecs, new_norms, self.ntotal
         )
         self.ntotal += n
+
+    def _convert_host(self, x: np.ndarray):
+        """Threaded host RNE conversion + fp32 norms (native C++ path):
+        device_put moves 2 bytes/element instead of 4."""
+        if self.metric is MetricType.L2:
+            norms = native.l2_norms(x)
+        else:
+            norms = np.zeros(x.shape[0], np.float32)
+        if self.d_pad != self.d:
+            xp = np.zeros((x.shape[0], self.d_pad), np.float32)
+            xp[:, : self.d] = x
+            x = xp
+        if self.storage is StorageType.BFLOAT16:
+            import ml_dtypes
+
+            bits = native.f32_to_bf16(x)
+            host = bits.view(ml_dtypes.bfloat16)
+        else:
+            host = native.f32_to_f16(x)
+        return self._put(jnp.asarray(host)), self._put(jnp.asarray(norms))
 
     def reset(self) -> None:
         """Drop all vectors and release device memory (≈ MetalIndexFlat::reset,
