@@ -39,6 +39,9 @@ from .index import (
     index_numpy_to_tpu,
 )
 from .parallel.sharded import ShardedIndexFlat
+from .io import save_index, load_index
+from . import native
+from . import utils
 
 __version__ = "0.1.0"
 
@@ -55,5 +58,9 @@ __all__ = [
     "index_cpu_to_tpu",
     "index_tpu_to_cpu",
     "index_numpy_to_tpu",
+    "save_index",
+    "load_index",
+    "native",
+    "utils",
     "__version__",
 ]

@@ -1,0 +1,69 @@
+"""Persistence tests: save/load must round-trip search results bit-exactly
+(including reduced-precision storage bits and pre-quantization fp32 norms)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import faiss_tpu
+from faiss_tpu import ShardedIndexFlat, TpuIndexFlat
+
+from common import make_data
+
+
+@pytest.mark.parametrize("storage", ["f32", "bf16", "f16"])
+def test_roundtrip_single(tmp_path, storage):
+    xb, xq = make_data(3000, 8, 72)
+    idx = TpuIndexFlat(72, storage=storage)
+    idx.add(xb)
+    D1, I1 = idx.search(xq, 10)
+    p = os.path.join(tmp_path, "idx.npz")
+    faiss_tpu.save_index(idx, p)
+    idx2 = faiss_tpu.load_index(p)
+    assert idx2.ntotal == idx.ntotal
+    assert idx2.storage_type is idx.storage_type
+    D2, I2 = idx2.search(xq, 10)
+    np.testing.assert_array_equal(I1, I2)
+    np.testing.assert_array_equal(D1, D2)  # bit-exact round trip
+
+
+def test_roundtrip_sharded_to_single(tmp_path):
+    xb, xq = make_data(2000, 8, 48)
+    idx = ShardedIndexFlat(48)
+    idx.add(xb)
+    D1, I1 = idx.search(xq, 10)
+    p = os.path.join(tmp_path, "sharded.npz")
+    faiss_tpu.save_index(idx, p)
+    # reload as single-device: same results (ids are insertion order)
+    idx2 = faiss_tpu.load_index(p)
+    D2, I2 = idx2.search(xq, 10)
+    np.testing.assert_array_equal(I1, I2)
+    np.testing.assert_allclose(D1, D2, rtol=1e-5, atol=1e-5)
+    # and back as sharded
+    idx3 = faiss_tpu.load_index(p, sharded=True)
+    D3, I3 = idx3.search(xq, 10)
+    np.testing.assert_array_equal(I1, I3)
+
+
+def test_roundtrip_sharded_bf16(tmp_path):
+    xb, xq = make_data(2000, 4, 64)
+    idx = ShardedIndexFlat(64, storage="bf16")
+    idx.add(xb)
+    D1, I1 = idx.search(xq, 5)
+    p = os.path.join(tmp_path, "s16.npz")
+    faiss_tpu.save_index(idx, p)
+    idx2 = faiss_tpu.load_index(p, sharded=True)
+    D2, I2 = idx2.search(xq, 5)
+    np.testing.assert_array_equal(I1, I2)
+    np.testing.assert_array_equal(D1, D2)
+
+
+def test_empty_roundtrip(tmp_path):
+    idx = TpuIndexFlat(32, metric="ip")
+    p = os.path.join(tmp_path, "empty.npz")
+    faiss_tpu.save_index(idx, p)
+    idx2 = faiss_tpu.load_index(p)
+    assert idx2.ntotal == 0 and idx2.metric.value == "ip"
+    D, I = idx2.search(np.zeros((2, 32), np.float32), 3)
+    assert (I == -1).all()
