@@ -266,7 +266,8 @@ class TpuIndexFlat:
             and not use_direct
             and pallas_fused.fused_path_eligible(
                 metric=self.metric, k=int(k), nv_eff=nv_eff,
-                d_pad=self.store.d_pad,
+                d_pad=self.store.d_pad, nq_pad=nq_pad,
+                itemsize=jnp.dtype(self.store.dtype).itemsize,
             )
         )
         interpret = not self.res.capabilities.is_tpu

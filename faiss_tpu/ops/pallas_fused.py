@@ -45,8 +45,9 @@ NEG_INF = float("-inf")
 
 # fused-path eligibility (dispatch heuristics, named like the reference's
 # MetalDistance.mm:344-353 gate constants)
-FUSED_MAX_K = 64      # beyond this, gather/rescore outgrows the streaming win
-FUSED_MIN_NV = 8192   # below this the plain XLA path is already tiny
+FUSED_MIN_NV = 8192             # below this the plain XLA path is already tiny
+FUSED_GATHER_BUDGET = 512 << 20  # max bytes the phase-3 gather may materialize
+FUSED_MAX_GROUP_FRACTION = 4     # kg must be ≤ ngroups/4 or gathering ≈ full scan
 
 
 def _pick_block_v(d_pad: int, itemsize: int, nv: int) -> int:
@@ -208,8 +209,17 @@ def fused_search(
 
 
 def fused_path_eligible(*, metric: MetricType, k: int, nv_eff: int,
-                        d_pad: int) -> bool:
+                        d_pad: int, nq_pad: int = 128,
+                        itemsize: int = 2) -> bool:
     """Dispatch gate (≈ MetalDistance::encodeFused gate, mm:346-353 — but our
-    fused kernel handles all nq and both metrics, so the gate is only about
-    selection shape)."""
-    return k <= FUSED_MAX_K and nv_eff >= FUSED_MIN_NV and d_pad <= 2048
+    fused kernel handles all nq, both metrics and large k; the gate is about
+    phase-3 gather volume). Large-k works as long as the per-query candidate
+    gather (kg groups × 128 rows × d) fits the budget and selecting kg groups
+    is meaningfully sparser than scanning everything."""
+    if nv_eff < FUSED_MIN_NV or d_pad > 2048:
+        return False
+    ngroups = nv_eff // GROUP
+    kg = min(k + GROUP_PAD, ngroups)
+    gather_bytes = nq_pad * kg * GROUP * d_pad * itemsize
+    return (gather_bytes <= FUSED_GATHER_BUDGET
+            and kg * FUSED_MAX_GROUP_FRACTION <= ngroups)

@@ -112,9 +112,34 @@ def test_fused_index_integration():
 
 
 def test_eligibility_gate():
-    assert pallas_fused.fused_path_eligible(
-        metric=MetricType.L2, k=10, nv_eff=1 << 20, d_pad=128)
-    assert not pallas_fused.fused_path_eligible(
-        metric=MetricType.L2, k=1024, nv_eff=1 << 20, d_pad=128)
-    assert not pallas_fused.fused_path_eligible(
-        metric=MetricType.L2, k=10, nv_eff=1024, d_pad=128)
+    ok = pallas_fused.fused_path_eligible
+    assert ok(metric=MetricType.L2, k=10, nv_eff=1 << 20, d_pad=128)
+    # large-k allowed when the gather fits (few queries)…
+    assert ok(metric=MetricType.L2, k=1024, nv_eff=1 << 20, d_pad=128,
+              nq_pad=8)
+    # …but not when nq × kg × G × d outgrows the budget
+    assert not ok(metric=MetricType.L2, k=1024, nv_eff=1 << 20, d_pad=128,
+                  nq_pad=128)
+    # nor when selecting kg groups ≈ scanning everything
+    assert not ok(metric=MetricType.L2, k=1024, nv_eff=8192, d_pad=128,
+                  nq_pad=8)
+    assert not ok(metric=MetricType.L2, k=10, nv_eff=1024, d_pad=128)
+
+
+def test_fused_large_k():
+    """k = 512 through the fused path (interpret) equals the oracle —
+    the regime the reference's block_select silently truncates."""
+    xb, xq = make_data(1 << 15, 8, 32)
+    db, q = jnp.asarray(xb), jnp.asarray(xq)
+    norms = _norms(db)
+    k = 512  # kg=516 of 256 groups → degenerates to gather-everything;
+    # the production gate routes this shape to the chunked path, but the
+    # algorithm itself must stay exact even in the degenerate regime
+    vals, ids = pallas_fused.fused_search(
+        q, db, norms, jnp.int32(db.shape[0]), k=k, metric=MetricType.L2,
+        nv_eff=db.shape[0], interpret=True,
+    )
+    s = 2 * (np.asarray(xq, np.float64) @ np.asarray(xb, np.float64).T)
+    s -= np.asarray(norms, np.float64)[None, :]
+    order = np.argsort(-s, axis=1, kind="stable")[:, :k]
+    np.testing.assert_array_equal(np.asarray(ids), order)
