@@ -29,6 +29,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..dtypes import MetricType, StorageType, worst_distance
 from ..ops import distance as dist_ops
+from ..ops import pallas_fused
 from ..ops import topk as topk_ops
 from ..resources import TpuResources, default_resources
 from ..storage import ROW_TILE, DeviceStore, _round_up
@@ -45,14 +46,33 @@ def _build_sharded_search_fn(
     k: int,
     metric: MetricType,
     chunk: int,
+    use_fused: bool = False,
+    interpret: bool = False,
 ):
-    """One shard_map program: local scan+select, ICI all-gather, k-merge."""
+    """One shard_map program: local scan+select, ICI all-gather, k-merge.
+
+    With ``use_fused`` the local scan is the Pallas streaming kernel
+    (ops/pallas_fused.py) — each chip sweeps its own shard at HBM speed and
+    only the tiny k-lists ride the ICI."""
     k_local = min(k, nv_eff)
 
     def per_device(db, norms, gids, ntotal_local, queries):
         # db: (cap_local, d_pad), norms/gids: (cap_local,), ntotal_local: (1,)
         # queries: (nq_pad, d_pad) replicated.
         nt = ntotal_local[0]
+
+        def local_fused():
+            vals, ids = pallas_fused.fused_search(
+                queries, db, norms, nt,
+                k=k_local, metric=metric, nv_eff=nv_eff, interpret=interpret,
+            )
+            if metric is MetricType.L2:
+                # restore the rank-invariant −‖q‖² so cross-shard scores share
+                # the plain convention (constant per query ⇒ merge unaffected,
+                # but final distances need it)
+                qn = jnp.sum(queries * queries, axis=-1, dtype=jnp.float32)
+                vals = vals - qn[:, None]
+            return vals, ids
 
         def masked_block(start, width):
             dbs = jax.lax.dynamic_slice_in_dim(db, start, width, axis=0)
@@ -61,7 +81,9 @@ def _build_sharded_search_fn(
             col = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1) + start
             return jnp.where(col < nt, s, -jnp.inf)
 
-        if nv_eff > chunk:
+        if use_fused:
+            vals, ids = local_fused()
+        elif nv_eff > chunk:
             nfull = nv_eff // chunk
             prefix = nfull * chunk
             vals, ids = topk_ops.chunked_topk_scores(
@@ -288,14 +310,22 @@ class ShardedIndexFlat:
         max_local = max(s.store.ntotal for s in self.shards)
         nv_eff = min(cap, _round_up(max(max_local, 1), ROW_TILE))
         chunk = self.res.capabilities.tuning.chunk_v
+        d_pad = self.shards[0].store.d_pad
+        use_fused = pallas_fused.fused_path_eligible(
+            metric=self.metric, k=int(k), nv_eff=nv_eff, d_pad=d_pad,
+            nq_pad=nq_pad,
+            itemsize=jnp.dtype(self.shards[0].store.dtype).itemsize,
+        )
+        interpret = not self.res.capabilities.is_tpu
         key = ("sharded_search", self.num_shards, nv_eff, cap,
-               self.shards[0].store.d_pad, nq_pad, int(k), self.metric,
-               self.storage_type, chunk)
+               d_pad, nq_pad, int(k), self.metric,
+               self.storage_type, chunk, use_fused)
         fn = self.res.cached(
             key,
             lambda: _build_sharded_search_fn(
                 mesh=self.mesh, nv_eff=nv_eff, nq_pad=nq_pad, k=int(k),
                 metric=self.metric, chunk=chunk,
+                use_fused=use_fused, interpret=interpret,
             ),
         )
         dists, glabels = fn(db, norms, gids, ntotals, q)

@@ -111,3 +111,23 @@ def test_sharded_reconstruct_and_reset():
     assert idx.ntotal == 0
     idx.add(xb[:10])
     np.testing.assert_array_equal(idx.reconstruct(3), xb[3])
+
+
+def test_sharded_fused_path():
+    """Per-shard Pallas fused kernel (interpret on CPU) must agree with the
+    single-device index and the oracle when shards are big enough to cross
+    the fused gate (nv_eff >= FUSED_MIN_NV per shard)."""
+    from faiss_tpu.ops.pallas_fused import FUSED_MIN_NV
+
+    nv = NDEV * (FUSED_MIN_NV + 600)
+    xb, xq = make_data(nv, 4, 32)
+    idx = ShardedIndexFlat(32)
+    idx.add(xb)
+    D, I = idx.search(xq, 10)
+    single = TpuIndexFlat(32)
+    single.add(xb)
+    D1, I1 = single.search(xq, 10)
+    np.testing.assert_array_equal(I, I1)
+    np.testing.assert_allclose(D, D1, rtol=1e-5, atol=1e-5)
+    Dr, Ir = numpy_search(xb, xq, 10)
+    assert recall_at_k(I, Ir, 10) == 1.0
