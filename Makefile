@@ -1,0 +1,24 @@
+# Developer entry points (≈ the reference's devenv scripts build/test/bench,
+# devenv.nix:44-82). The native lib builds itself on first import; `make
+# native` forces a rebuild.
+
+PY ?= python
+
+.PHONY: test bench native clean lint
+
+test:
+	$(PY) -m pytest tests/ -x -q
+
+bench:
+	$(PY) bench.py
+
+grid:
+	$(PY) -c "import faiss_tpu; from faiss_tpu.utils.profiling import bench_grid, DEFAULT_GRID; \
+	bench_grid(lambda d, m, s: faiss_tpu.TpuIndexFlat(d, metric=m, storage=s), DEFAULT_GRID)"
+
+native:
+	rm -rf faiss_tpu/native/_build
+	$(PY) -c "from faiss_tpu import native; assert native.available(), 'native build failed'"
+
+clean:
+	rm -rf faiss_tpu/native/_build **/__pycache__ .pytest_cache

@@ -295,14 +295,16 @@ class TpuIndexFlat:
         )
         return (dists, labels), nq, nq_pad
 
-    def search(self, x: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    def search(self, x: np.ndarray, k: int,
+               params=None) -> Tuple[np.ndarray, np.ndarray]:
         """Exact top-k search. Returns (distances f32 (nq,k), labels i64 (nq,k))."""
         out, nq, _ = self._search_device(x, k)
         if out is None:
             return self._empty_result(nq, k)
         return TpuSearchToken(out[0], out[1], nq).wait()
 
-    def search_async(self, x: np.ndarray, k: int) -> TpuSearchToken:
+    def search_async(self, x: np.ndarray, k: int,
+                     params=None) -> TpuSearchToken:
         """Non-blocking search (≈ searchAsync, MetalIndexFlat.mm:403-490)."""
         out, nq, _ = self._search_device(x, k)
         if out is None:

@@ -331,14 +331,16 @@ class ShardedIndexFlat:
         dists, glabels = fn(db, norms, gids, ntotals, q)
         return (dists, glabels), nq, nq_pad
 
-    def search(self, x: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    def search(self, x: np.ndarray, k: int,
+               params=None) -> Tuple[np.ndarray, np.ndarray]:
         out, nq, _ = self._search_device(x, k)
         if out is None:
             d = np.full((nq, k), worst_distance(self.metric), np.float32)
             return d, np.full((nq, k), -1, np.int64)
         return TpuSearchToken(out[0], out[1], nq).wait()
 
-    def search_async(self, x: np.ndarray, k: int) -> TpuSearchToken:
+    def search_async(self, x: np.ndarray, k: int,
+                     params=None) -> TpuSearchToken:
         out, nq, _ = self._search_device(x, k)
         if out is None:
             tok = TpuSearchToken.__new__(TpuSearchToken)
