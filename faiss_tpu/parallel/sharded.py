@@ -36,6 +36,7 @@ from ..storage import ROW_TILE, DeviceStore, _round_up
 from ..index import NQ_PAD, TpuSearchToken
 
 AXIS = TpuResources.SHARD_AXIS
+REPLICA_AXIS = "replicas"
 
 
 def _build_sharded_search_fn(
@@ -129,8 +130,10 @@ def _build_sharded_search_fn(
     fn = jax.shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
-        out_specs=(P(), P()),
+        # db/norms/gids/ntotals: sharded over `shards`, replicated over
+        # `replicas`; queries: split over `replicas`, replicated over shards.
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(REPLICA_AXIS)),
+        out_specs=(P(REPLICA_AXIS), P(REPLICA_AXIS)),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -166,7 +169,16 @@ class _ShardStore:
 
 
 class ShardedIndexFlat:
-    """Flat index sharded across a 1-D device mesh. API mirrors TpuIndexFlat."""
+    """Flat index over a 2-D ``(replicas, shards)`` device mesh.
+
+    Two composable parallelism axes (the reference has neither — SURVEY §2.4):
+      * **shards** (model-parallel analog): the database row-shards across
+        devices; per-shard top-k lists merge over ICI.
+      * **replicas** (data-parallel analog, ``num_replicas``): the sharded
+        database is replicated ``R`` times and the query batch splits across
+        replica groups — R× query throughput for R× memory.
+    Default R=1 is plain 1-D DB sharding. API mirrors TpuIndexFlat.
+    """
 
     def __init__(
         self,
@@ -175,13 +187,22 @@ class ShardedIndexFlat:
         storage=StorageType.FLOAT32,
         resources: Optional[TpuResources] = None,
         num_shards: Optional[int] = None,
+        num_replicas: int = 1,
     ):
         self.metric = MetricType.coerce(metric)
         self.storage_type = StorageType.coerce(storage)
         self.res = resources if resources is not None else default_resources()
-        n = num_shards or len(self.res.devices)
-        self.mesh = self.res.mesh(n)
-        self.devices = list(self.mesh.devices.flat)
+        r = int(num_replicas)
+        navail = len(self.res.devices)
+        p = num_shards or navail // r
+        if r < 1 or p < 1 or r * p > navail:
+            raise ValueError(
+                f"num_replicas={r} × num_shards={p} exceeds {navail} devices"
+            )
+        dev_grid = np.asarray(self.res.devices[: r * p]).reshape(r, p)
+        self.mesh = jax.sharding.Mesh(dev_grid, (REPLICA_AXIS, AXIS))
+        self.num_replicas = r
+        self.devices = list(dev_grid[0])  # replica-0 devices own the shards
         self.shards: List[_ShardStore] = [
             _ShardStore(d, self.storage_type, self.metric, dev)
             for dev in self.devices
@@ -263,20 +284,30 @@ class ShardedIndexFlat:
                 s.gids = jax.device_put(g, s.device)
         p = self.num_shards
         d_pad = self.shards[0].store.d_pad
-        dtype = self.shards[0].store.dtype
+        dev_grid = self.mesh.devices  # (R, P)
 
-        def global_arr(pieces, shape_tail, gdtype):
+        def global_arr(pieces, shape_tail):
             gshape = (p * cap,) + shape_tail
-            sharding = NamedSharding(self.mesh, P(AXIS))
-            if len(shape_tail):
-                sharding = NamedSharding(self.mesh, P(AXIS, *([None] * len(shape_tail))))
+            spec = P(AXIS, *([None] * len(shape_tail)))
+            sharding = NamedSharding(self.mesh, spec)
+            # replica 0 owns the data; copies are pushed to replicas 1..R-1
+            # once per assembly (cached until the next add/reset)
+            all_pieces = []
+            for r in range(self.num_replicas):
+                for i, piece in enumerate(pieces):
+                    if r == 0:
+                        all_pieces.append(piece)
+                    else:
+                        all_pieces.append(
+                            jax.device_put(piece, dev_grid[r][i])
+                        )
             return jax.make_array_from_single_device_arrays(
-                gshape, sharding, pieces
+                gshape, sharding, all_pieces
             )
 
-        db = global_arr([s.store.db for s in self.shards], (d_pad,), dtype)
-        norms = global_arr([s.store.norms for s in self.shards], (), jnp.float32)
-        gids = global_arr([s.gids for s in self.shards], (), jnp.int32)
+        db = global_arr([s.store.db for s in self.shards], (d_pad,))
+        norms = global_arr([s.store.norms for s in self.shards], ())
+        gids = global_arr([s.gids for s in self.shards], ())
         ntotals = jax.device_put(
             np.asarray([s.store.ntotal for s in self.shards], np.int32),
             NamedSharding(self.mesh, P(AXIS)),
@@ -292,12 +323,16 @@ class ShardedIndexFlat:
         if x.ndim != 2 or x.shape[1] != self.d:
             raise ValueError(f"expected (n, {self.d}) queries, got {x.shape}")
         nq = x.shape[0]
-        nq_pad = max(NQ_PAD, _round_up(nq, NQ_PAD))
+        # rows must split evenly over replicas AND stay 8-aligned per replica
+        unit = NQ_PAD * self.num_replicas
+        nq_pad = max(unit, _round_up(nq, unit))
         q = jnp.asarray(x)
         if nq_pad != nq:
             q = jnp.pad(q, ((0, nq_pad - nq), (0, 0)))
         q = self.shards[0].store.pad_queries(q)
-        q = jax.device_put(q, NamedSharding(self.mesh, P(None, None)))
+        q = jax.device_put(
+            q, NamedSharding(self.mesh, P(REPLICA_AXIS, None))
+        )
         return q, nq, nq_pad
 
     def _search_device(self, x: np.ndarray, k: int):
@@ -311,19 +346,20 @@ class ShardedIndexFlat:
         nv_eff = min(cap, _round_up(max(max_local, 1), ROW_TILE))
         chunk = self.res.capabilities.tuning.chunk_v
         d_pad = self.shards[0].store.d_pad
+        nq_local = nq_pad // self.num_replicas  # per replica group
         use_fused = pallas_fused.fused_path_eligible(
             metric=self.metric, k=int(k), nv_eff=nv_eff, d_pad=d_pad,
-            nq_pad=nq_pad,
+            nq_pad=nq_local,
             itemsize=jnp.dtype(self.shards[0].store.dtype).itemsize,
         )
         interpret = not self.res.capabilities.is_tpu
-        key = ("sharded_search", self.num_shards, nv_eff, cap,
-               d_pad, nq_pad, int(k), self.metric,
+        key = ("sharded_search", self.num_shards, self.num_replicas, nv_eff,
+               cap, d_pad, nq_pad, int(k), self.metric,
                self.storage_type, chunk, use_fused)
         fn = self.res.cached(
             key,
             lambda: _build_sharded_search_fn(
-                mesh=self.mesh, nv_eff=nv_eff, nq_pad=nq_pad, k=int(k),
+                mesh=self.mesh, nv_eff=nv_eff, nq_pad=nq_local, k=int(k),
                 metric=self.metric, chunk=chunk,
                 use_fused=use_fused, interpret=interpret,
             ),

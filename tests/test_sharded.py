@@ -131,3 +131,28 @@ def test_sharded_fused_path():
     np.testing.assert_allclose(D, D1, rtol=1e-5, atol=1e-5)
     Dr, Ir = numpy_search(xb, xq, 10)
     assert recall_at_k(I, Ir, 10) == 1.0
+
+
+@pytest.mark.parametrize("nreplicas", [2, 4])
+def test_query_replicas(nreplicas):
+    """2-D mesh: DB replicated over replica groups, queries split across
+    them. Results must equal the 1-D sharded index and the oracle."""
+    if NDEV % nreplicas or NDEV // nreplicas < 2:
+        pytest.skip("need a divisible multi-device mesh")
+    xb, xq = make_data(3000, 13, 48)  # odd nq exercises replica padding
+    idx_r = ShardedIndexFlat(48, num_replicas=nreplicas)
+    assert idx_r.num_shards == NDEV // nreplicas
+    idx_r.add(xb)
+    D_r, I_r = idx_r.search(xq, 10)
+    idx_1 = ShardedIndexFlat(48)
+    idx_1.add(xb)
+    D_1, I_1 = idx_1.search(xq, 10)
+    np.testing.assert_array_equal(I_r, I_1)
+    np.testing.assert_allclose(D_r, D_1, rtol=1e-5, atol=1e-5)
+    Dr, Ir = numpy_search(xb, xq, 10)
+    assert recall_at_k(I_r, Ir, 10) == 1.0
+
+
+def test_query_replicas_validation():
+    with pytest.raises(ValueError):
+        ShardedIndexFlat(16, num_replicas=NDEV + 1, num_shards=2)
