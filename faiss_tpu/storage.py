@@ -73,7 +73,9 @@ def _grow_fn(old_db, old_norms, new_capacity: int):
     return db, norms
 
 
-_grow_jit = jax.jit(_grow_fn, static_argnums=(2,), donate_argnums=(0, 1))
+# no donation: the grown shape differs so XLA can never alias (donating only
+# produces "donated buffers were not usable" warnings)
+_grow_jit = jax.jit(_grow_fn, static_argnums=(2,))
 
 
 class DeviceStore:
