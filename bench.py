@@ -4,8 +4,12 @@ Headline: SIFT1M-shaped exact L2 search (nv=1M, d=128, nq=100, k=10) on one
 chip, fp32 storage (recall@10 = 1.0 vs the exact oracle — the BASELINE.json
 acceptance bar), measured as pipelined-async throughput (the axon tunnel adds
 ~25 ms RPC per blocking dispatch; the TpuSearchToken pipeline hides it, which
-is also how a serving deployment would run). A bf16-storage variant (2×
-less HBM traffic) is reported in the metric string.
+is also how a serving deployment would run). A bf16-storage variant (2× less
+HBM traffic) is reported in the metric string.
+
+Each storage config runs in its own subprocess with a hard timeout so a
+wedged device/tunnel can never hang the driver; whatever completed is
+reported.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); the north-star
 bar is ≥2× an M3-Max on SIFT1M. Estimate: M3-Max ~400 GB/s HBM, 512 MB fp32
@@ -14,51 +18,88 @@ BASELINE_QPS. vs_baseline = our QPS / 2600.
 """
 
 import json
-import time
-
-import numpy as np
+import os
+import subprocess
+import sys
 
 BASELINE_QPS = 2600.0
 NV, D, NQ, K = 1_000_000, 128, 100, 10
+SUBPROC_TIMEOUT_S = 900
+
+_CHILD_SRC = r"""
+import json, sys, time
+import numpy as np
+import faiss_tpu
+from faiss_tpu.utils.profiling import measure_search, _oracle_recall
+
+storage = sys.argv[1]
+NV, D, NQ, K = map(int, sys.argv[2:6])
+rng = np.random.default_rng(42)
+xb = rng.standard_normal((NV, D), dtype=np.float32)
+xq = rng.standard_normal((NQ, D), dtype=np.float32)
+idx = faiss_tpu.TpuIndexFlat(D, metric="l2", storage=storage)
+t0 = time.perf_counter(); idx.add(xb); add_s = time.perf_counter() - t0
+lat, pipe = measure_search(idx, xq, K)
+D_out, I_out = idx.search(xq, K)
+recall = _oracle_recall(xb, xq, K, "l2", I_out, sample=16)
+print("RESULT " + json.dumps({
+    "storage": storage, "qps": NQ / (pipe / 1e3), "latency_ms": lat,
+    "pipelined_ms": pipe, "recall": recall, "add_s": add_s,
+}), flush=True)
+"""
+
+
+def run_config(storage: str):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__)) + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _CHILD_SRC, storage,
+             str(NV), str(D), str(NQ), str(K)],
+            capture_output=True, text=True, timeout=SUBPROC_TIMEOUT_S,
+            env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("RESULT "):
+                return json.loads(line[len("RESULT "):])
+        sys.stderr.write(f"[bench] {storage}: no result; stderr tail:\n"
+                         + "\n".join(out.stderr.splitlines()[-5:]) + "\n")
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(f"[bench] {storage}: timed out after "
+                         f"{SUBPROC_TIMEOUT_S}s\n")
+    return None
 
 
 def main():
-    import faiss_tpu
-    from faiss_tpu.utils.profiling import measure_search, _oracle_recall
-
-    rng = np.random.default_rng(42)
-    xb = rng.standard_normal((NV, D), dtype=np.float32)
-    xq = rng.standard_normal((NQ, D), dtype=np.float32)
-
-    idx32 = faiss_tpu.TpuIndexFlat(D, metric="l2", storage="f32")
-    t0 = time.perf_counter()
-    idx32.add(xb)
-    add_s = time.perf_counter() - t0
-
-    lat32, pipe32 = measure_search(idx32, xq, K)
-    qps32 = NQ / (pipe32 / 1e3)
-    D_out, I_out = idx32.search(xq, K)
-    recall = _oracle_recall(xb, xq, K, "l2", I_out, sample=16)
-    del idx32
-
-    idx16 = faiss_tpu.TpuIndexFlat(D, metric="l2", storage="bf16")
-    idx16.add(xb)
-    lat16, pipe16 = measure_search(idx16, xq, K)
-    qps16 = NQ / (pipe16 / 1e3)
-    D16, I16 = idx16.search(xq, K)
-    recall16 = _oracle_recall(xb, xq, K, "l2", I16, sample=16)
-
+    r32 = run_config("f32")
+    r16 = run_config("bf16")
+    best = r32 or r16
+    if best is None:
+        print(json.dumps({
+            "metric": "SIFT1M-shape exact L2 QPS (bench could not run: "
+                      "device unavailable)",
+            "value": 0.0, "unit": "QPS", "vs_baseline": 0.0,
+        }))
+        return
+    extra = ""
+    if r32 and r16:
+        extra = (f"; bf16 storage: {r16['qps']:.0f} QPS "
+                 f"recall@10={r16['recall']:.4f}")
+    elif r16 and not r32:
+        extra = "; fp32 config failed, reporting bf16"
     print(json.dumps({
         "metric": (
             f"SIFT1M-shape exact L2 QPS, 1 chip (nv={NV}, d={D}, nq={NQ}, "
-            f"k={K}, fp32 storage, fused Pallas path, pipelined async; "
-            f"recall@10={recall:.4f}; latency={lat32:.1f}ms/batch; "
-            f"bf16 storage: {qps16:.0f} QPS recall@10={recall16:.4f}; "
-            f"add={add_s:.2f}s)"
+            f"k={K}, {best['storage']} storage, fused Pallas path, pipelined "
+            f"async; recall@10={best['recall']:.4f}; "
+            f"latency={best['latency_ms']:.1f}ms/batch; "
+            f"add={best['add_s']:.2f}s{extra})"
         ),
-        "value": round(qps32, 1),
+        "value": round(best["qps"], 1),
         "unit": "QPS",
-        "vs_baseline": round(qps32 / BASELINE_QPS, 3),
+        "vs_baseline": round(best["qps"] / BASELINE_QPS, 3),
     }))
 
 

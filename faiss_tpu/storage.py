@@ -135,8 +135,17 @@ class DeviceStore:
         return jnp.pad(q, ((0, 0), (0, self.d_pad - self.d)))
 
     # -- mutation -------------------------------------------------------------
-    def add(self, x: np.ndarray) -> None:
-        """Append n fp32 vectors. Norms computed pre-quantization (fp32)."""
+    def add(self, x) -> None:
+        """Append n fp32 vectors. Norms computed pre-quantization (fp32).
+
+        Accepts numpy or jax arrays; device arrays (e.g. embeddings produced
+        on-TPU) stay on device — no host round trip."""
+        if isinstance(x, jax.Array):
+            if x.ndim != 2 or x.shape[1] != self.d:
+                raise ValueError(
+                    f"expected (n, {self.d}) array, got {x.shape}")
+            self._add_device(x.astype(jnp.float32))
+            return
         x = np.ascontiguousarray(x, dtype=np.float32)
         if x.ndim != 2 or x.shape[1] != self.d:
             raise ValueError(f"expected (n, {self.d}) fp32 array, got {x.shape}")
@@ -163,6 +172,26 @@ class DeviceStore:
             vecs = xd.astype(self.dtype)  # RNE, on device
         self.db, self.norms = _append_jit(
             self.db, self.norms, vecs, new_norms, self.ntotal
+        )
+        self.ntotal += n
+
+    def _add_device(self, xd: jax.Array) -> None:
+        """Device-resident append (no host staging)."""
+        n = xd.shape[0]
+        if n == 0:
+            return
+        if self.ntotal + n > np.iinfo(np.int32).max:
+            raise ValueError("index size would exceed 2^31-1 vectors (int32 ids)")
+        self._ensure_capacity(self.ntotal + n)
+        xd = self._put(xd)
+        if self.metric is MetricType.L2:
+            new_norms = _norms_f32(xd)
+        else:
+            new_norms = jnp.zeros((n,), jnp.float32)
+        if self.d_pad != self.d:
+            xd = jnp.pad(xd, ((0, 0), (0, self.d_pad - self.d)))
+        self.db, self.norms = _append_jit(
+            self.db, self.norms, xd.astype(self.dtype), new_norms, self.ntotal
         )
         self.ntotal += n
 

@@ -249,3 +249,21 @@ def test_describe():
     idx = TpuIndexFlat(32)
     s = idx.describe()
     assert "TpuIndexFlat" in s and "device_kind" in s
+
+
+def test_add_device_arrays():
+    """jax.Array inputs stay on device (embeddings produced on-TPU)."""
+    import jax.numpy as jnp
+
+    xb, xq = make_data(1500, 8, 64)
+    idx = TpuIndexFlat(64)
+    idx.add(jnp.asarray(xb[:1000]))
+    idx.add(xb[1000:])                  # mix device and host adds
+    assert idx.ntotal == 1500
+    D, I = idx.search(xq, 10)
+    Dr, Ir = numpy_search(xb, xq, 10)
+    compare_results(D, I, Dr, Ir, dist_tol=1e-3, k=10, label="device add")
+    idx16 = TpuIndexFlat(64, storage="bf16")
+    idx16.add(jnp.asarray(xb))
+    D2, I2 = idx16.search(xq, 10)
+    np.testing.assert_array_equal(I2[:, 0], Ir[:, 0])
