@@ -19,8 +19,10 @@ BASELINE_QPS. vs_baseline = our QPS / 2600.
 
 import json
 import os
+import signal
 import subprocess
 import sys
+import tempfile
 
 BASELINE_QPS = 2600.0
 NV, D, NQ, K = 1_000_000, 128, 100, 10
@@ -49,30 +51,72 @@ print("RESULT " + json.dumps({
 """
 
 
+def _run_isolated(argv, timeout_s: int, env=None):
+    """Run a python child in its own process group, output to a temp file
+    (never pipes — PJRT helper grandchildren inherit pipes and block
+    communicate() past the timeout). Hard-kills the whole group on expiry.
+    Returns captured stdout+stderr text or None on timeout."""
+    with tempfile.TemporaryFile(mode="w+") as out:
+        proc = subprocess.Popen(
+            argv, stdout=out, stderr=out, text=True,
+            start_new_session=True, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        try:
+            proc.wait(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+            proc.wait()
+            return None
+        out.seek(0)
+        return out.read()
+
+
 def run_config(storage: str):
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__)) + (
         os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
     )
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c", _CHILD_SRC, storage,
-             str(NV), str(D), str(NQ), str(K)],
-            capture_output=True, text=True, timeout=SUBPROC_TIMEOUT_S,
-            env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        for line in out.stdout.splitlines():
-            if line.startswith("RESULT "):
-                return json.loads(line[len("RESULT "):])
-        sys.stderr.write(f"[bench] {storage}: no result; stderr tail:\n"
-                         + "\n".join(out.stderr.splitlines()[-5:]) + "\n")
-    except subprocess.TimeoutExpired:
+    text = _run_isolated(
+        [sys.executable, "-c", _CHILD_SRC, storage,
+         str(NV), str(D), str(NQ), str(K)],
+        SUBPROC_TIMEOUT_S, env=env,
+    )
+    if text is None:
         sys.stderr.write(f"[bench] {storage}: timed out after "
                          f"{SUBPROC_TIMEOUT_S}s\n")
+        return None
+    for line in text.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    sys.stderr.write(f"[bench] {storage}: no result; output tail:\n"
+                     + "\n".join(text.splitlines()[-5:]) + "\n")
     return None
 
 
+def _device_alive(timeout_s: int = 120) -> bool:
+    """Cheap probe so a dead device/tunnel fails fast, not 2× the full
+    per-config timeout."""
+    text = _run_isolated(
+        [sys.executable, "-c",
+         "import jax, jax.numpy as jnp;"
+         "print('ALIVE', float(jnp.sum(jnp.ones((4,4)))))"],
+        timeout_s,
+    )
+    return text is not None and "ALIVE" in text
+
+
 def main():
+    if not _device_alive():
+        print(json.dumps({
+            "metric": "SIFT1M-shape exact L2 QPS (bench could not run: "
+                      "device probe timed out)",
+            "value": 0.0, "unit": "QPS", "vs_baseline": 0.0,
+        }))
+        return
     r32 = run_config("f32")
     r16 = run_config("bf16")
     best = r32 or r16
