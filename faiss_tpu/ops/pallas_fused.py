@@ -104,7 +104,7 @@ def groupmax_scores(
     block_q = min(nq_pad, 128)
     precision = (jax.lax.Precision.HIGHEST if db.dtype == jnp.float32
                  else jax.lax.Precision.DEFAULT)
-    grid = (nq_pad // block_q, nv_eff // block_v)
+    grid = (pl.cdiv(nq_pad, block_q), nv_eff // block_v)
     ngroups_blk = block_v // GROUP
 
     kernel = functools.partial(

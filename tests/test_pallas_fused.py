@@ -143,3 +143,19 @@ def test_fused_large_k():
     s -= np.asarray(norms, np.float64)[None, :]
     order = np.argsort(-s, axis=1, kind="stable")[:, :k]
     np.testing.assert_array_equal(np.asarray(ids), order)
+
+
+def test_fused_nq_multiblock():
+    """nq > 128 exercises the query grid dimension (multiple q blocks)."""
+    xb, xq = make_data(16384, 200, 64)  # nq_pad 200 → 2 q-blocks of 128/72
+    db = jnp.asarray(xb)
+    norms = _norms(db)
+    q = jnp.asarray(np.pad(xq, ((0, 8 - 200 % 8), (0, 0))))  # 208 rows
+    vals, ids = pallas_fused.fused_search(
+        q, db, norms, jnp.int32(16384), k=10, metric=MetricType.L2,
+        nv_eff=16384, interpret=True,
+    )
+    s = 2 * (np.asarray(q, np.float64) @ xb.astype(np.float64).T)
+    s -= np.asarray(norms, np.float64)[None, :]
+    order = np.argsort(-s, axis=1, kind="stable")[:, :10]
+    np.testing.assert_array_equal(np.asarray(ids), order)
