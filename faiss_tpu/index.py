@@ -88,13 +88,15 @@ def _build_search_fn(
             ids = jnp.concatenate([ids, pad_i], axis=-1)
         return dists, ids
 
-    def fn(db, norms, queries, ntotal):
+    def fn(db, norms, queries, ntotal, *split):
         if use_fused:
             # Pallas streaming kernel: group-max sweep + gather/rescore
-            # (never materializes nq×nv — ops/pallas_fused.py).
+            # (never materializes nq×nv — ops/pallas_fused.py). For fp32
+            # storage `split` carries the precomputed bf16 (hi, lo) pair.
             vals, ids = pallas_fused.fused_search(
                 queries, db, norms, ntotal,
                 k=k, metric=metric, nv_eff=nv_eff, interpret=interpret,
+                db_split=split if split else None,
             )
             if metric is MetricType.L2:
                 # kernel scores omit the rank-invariant −‖q‖² term; restore it
@@ -290,8 +292,12 @@ class TpuIndexFlat:
                 interpret=interpret,
             ),
         )
+        split = ()
+        if use_fused and self.store.db_hi is not None:
+            split = (self.store.db_hi, self.store.db_lo)
         dists, labels = fn(
-            self.store.db, self.store.norms, q, jnp.int32(self.ntotal)
+            self.store.db, self.store.norms, q, jnp.int32(self.ntotal),
+            *split,
         )
         return (dists, labels), nq, nq_pad
 

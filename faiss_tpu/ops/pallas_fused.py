@@ -59,16 +59,9 @@ def _pick_block_v(d_pad: int, itemsize: int, nv: int) -> int:
     return 128
 
 
-def _kernel(q_ref, db_ref, vn_ref, nt_ref, out_ref, *, metric, block_v,
-            nq_pad, precision):
-    """One nv tile: dots on the MXU, mask, group-max epilogue on the VPU."""
+def _epilogue(dots, vn_ref, nt_ref, out_ref, *, metric, block_v, nq_pad):
+    """Shared mask + group-max epilogue (VPU)."""
     j = pl.program_id(1)
-    dots = jax.lax.dot_general(
-        q_ref[:], db_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
     if metric is MetricType.L2:
         s = 2.0 * dots - vn_ref[0, :][None, :]
     else:
@@ -80,15 +73,48 @@ def _kernel(q_ref, db_ref, vn_ref, nt_ref, out_ref, *, metric, block_v,
     out_ref[:] = gm.T
 
 
+def _kernel(q_ref, db_ref, vn_ref, nt_ref, out_ref, *, metric, block_v,
+            nq_pad):
+    """One nv tile, reduced-precision storage: one bf16 MXU pass."""
+    dots = jax.lax.dot_general(
+        q_ref[:], db_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    _epilogue(dots, vn_ref, nt_ref, out_ref, metric=metric,
+              block_v=block_v, nq_pad=nq_pad)
+
+
+def _kernel_split(qh_ref, ql_ref, dh_ref, dl_ref, vn_ref, nt_ref, out_ref, *,
+                  metric, block_v, nq_pad):
+    """One nv tile, fp32 storage: three bf16 MXU passes over the pre-split
+    (hi, lo) operands ≈ fp32-grade ranking (~4e-5 rel err; the lo·lo term is
+    dropped). The split MUST happen outside the kernel with the bit-mask
+    trick (storage.split_f32_bf16) — Mosaic's own f32/HIGHEST matmul takes
+    >10 minutes to compile through the remote compiler, and an arithmetic
+    in-kernel split is both slow to compile and elided by XLA's
+    excess-precision simplifier."""
+    dn = (((1,), (1,)), ((), ()))
+    acc = jax.lax.dot_general(qh_ref[:], dh_ref[:], dn,
+                              preferred_element_type=jnp.float32)
+    acc += jax.lax.dot_general(qh_ref[:], dl_ref[:], dn,
+                               preferred_element_type=jnp.float32)
+    acc += jax.lax.dot_general(ql_ref[:], dh_ref[:], dn,
+                               preferred_element_type=jnp.float32)
+    _epilogue(acc, vn_ref, nt_ref, out_ref, metric=metric,
+              block_v=block_v, nq_pad=nq_pad)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("metric", "nv_eff", "interpret"),
 )
 def groupmax_scores(
-    queries: jax.Array,        # (nq_pad, d_pad) already cast to compute dtype
+    queries: jax.Array,        # (nq_pad, d_pad) compute dtype (bf16/f16/f32)
     db: jax.Array,             # (capacity, d_pad) storage dtype
     db_norms: jax.Array,       # (capacity,) f32 (zeros for IP)
     ntotal: jax.Array,         # () or (1,) int32
+    db_split=None,             # fp32 storage: (db_hi, db_lo) bf16 pair
     *,
     metric: MetricType,
     nv_eff: int,
@@ -98,31 +124,31 @@ def groupmax_scores(
     nq_pad, d_pad = queries.shape
     assert nq_pad % 8 == 0, nq_pad
     assert nv_eff % GROUP == 0, nv_eff
-    db = jax.lax.slice_in_dim(db, 0, nv_eff, axis=0)
+    use_split = queries.dtype == jnp.float32
+    if use_split and db_split is None:
+        # direct callers without precomputed splits (tests): derive them here
+        from ..storage import split_f32_bf16
+
+        db_split = split_f32_bf16(db)
     vn = jax.lax.slice_in_dim(db_norms, 0, nv_eff, axis=0).reshape(1, nv_eff)
-    block_v = _pick_block_v(d_pad, db.dtype.itemsize, nv_eff)
+    nt = jnp.asarray(ntotal, jnp.int32).reshape(1, 1)
+    itemsize = 4 if use_split else db.dtype.itemsize  # hi+lo = 4 bytes/elem
+    block_v = _pick_block_v(d_pad, itemsize, nv_eff)
     block_q = min(nq_pad, 128)
-    precision = (jax.lax.Precision.HIGHEST if db.dtype == jnp.float32
-                 else jax.lax.Precision.DEFAULT)
     grid = (pl.cdiv(nq_pad, block_q), nv_eff // block_v)
     ngroups_blk = block_v // GROUP
 
-    kernel = functools.partial(
-        _kernel, metric=metric, block_v=block_v, nq_pad=block_q,
-        precision=precision,
-    )
-    out = pl.pallas_call(
-        kernel,
+    q_spec = pl.BlockSpec((block_q, d_pad), lambda i, j: (i, 0),
+                          memory_space=pltpu.VMEM)
+    db_spec = pl.BlockSpec((block_v, d_pad), lambda i, j: (j, 0),
+                           memory_space=pltpu.VMEM)
+    common_specs = [
+        pl.BlockSpec((1, block_v), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    call_kw = dict(
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_q, d_pad), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_v, d_pad), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_v), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
         out_specs=pl.BlockSpec((ngroups_blk, block_q), lambda i, j: (j, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
@@ -130,13 +156,35 @@ def groupmax_scores(
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * nq_pad * nv_eff * d_pad,
-            bytes_accessed=nv_eff * d_pad * db.dtype.itemsize
+            flops=2 * nq_pad * nv_eff * d_pad * (3 if use_split else 1),
+            bytes_accessed=nv_eff * d_pad * itemsize
             + nq_pad * d_pad * queries.dtype.itemsize
             + nq_pad * (nv_eff // GROUP) * 4,
             transcendentals=0,
         ),
-    )(queries, db, vn, jnp.asarray(ntotal, jnp.int32).reshape(1, 1))
+    )
+    if use_split:
+        from ..storage import split_f32_bf16
+
+        q_hi, q_lo = split_f32_bf16(queries)
+        dh = jax.lax.slice_in_dim(db_split[0], 0, nv_eff, axis=0)
+        dl = jax.lax.slice_in_dim(db_split[1], 0, nv_eff, axis=0)
+        kernel = functools.partial(
+            _kernel_split, metric=metric, block_v=block_v, nq_pad=block_q)
+        out = pl.pallas_call(
+            kernel,
+            in_specs=[q_spec, q_spec, db_spec, db_spec] + common_specs,
+            **call_kw,
+        )(q_hi, q_lo, dh, dl, vn, nt)
+    else:
+        dbs = jax.lax.slice_in_dim(db, 0, nv_eff, axis=0)
+        kernel = functools.partial(
+            _kernel, metric=metric, block_v=block_v, nq_pad=block_q)
+        out = pl.pallas_call(
+            kernel,
+            in_specs=[q_spec, db_spec] + common_specs,
+            **call_kw,
+        )(queries, dbs, vn, nt)
     return out.T  # back to (nq_pad, ngroups)
 
 
@@ -150,6 +198,7 @@ def fused_search(
     metric: MetricType,
     nv_eff: int,
     interpret: bool = False,
+    db_split=None,             # fp32 storage: (db_hi, db_lo) bf16 pair
 ) -> Tuple[jax.Array, jax.Array]:
     """Full fused path: kernel group-max → top groups → gather+rescore.
 
@@ -163,7 +212,7 @@ def fused_search(
 
     # phase 1 — the Pallas sweep
     gmax = groupmax_scores(
-        q_c, db, db_norms, ntotal,
+        q_c, db, db_norms, ntotal, db_split,
         metric=metric, nv_eff=nv_eff, interpret=interpret,
     )
     ngroups = nv_eff // GROUP

@@ -48,6 +48,7 @@ def _build_sharded_search_fn(
     metric: MetricType,
     chunk: int,
     use_fused: bool = False,
+    use_split: bool = False,
     interpret: bool = False,
 ):
     """One shard_map program: local scan+select, ICI all-gather, k-merge.
@@ -57,15 +58,16 @@ def _build_sharded_search_fn(
     only the tiny k-lists ride the ICI."""
     k_local = min(k, nv_eff)
 
-    def per_device(db, norms, gids, ntotal_local, queries):
+    def per_device(db, norms, gids, ntotal_local, queries, *split):
         # db: (cap_local, d_pad), norms/gids: (cap_local,), ntotal_local: (1,)
-        # queries: (nq_pad, d_pad) replicated.
+        # queries: (nq_pad, d_pad) replicated; split: fp32 bf16 (hi, lo) pair.
         nt = ntotal_local[0]
 
         def local_fused():
             vals, ids = pallas_fused.fused_search(
                 queries, db, norms, nt,
                 k=k_local, metric=metric, nv_eff=nv_eff, interpret=interpret,
+                db_split=split if split else None,
             )
             if metric is MetricType.L2:
                 # restore the rank-invariant −‖q‖² so cross-shard scores share
@@ -127,12 +129,16 @@ def _build_sharded_search_fn(
             top_gids = jnp.concatenate([top_gids, pad_i], axis=-1)
         return dists, top_gids
 
+    # db/norms/gids/ntotals (+ optional fp32 hi/lo pair): sharded over
+    # `shards`, replicated over `replicas`; queries: split over `replicas`,
+    # replicated over shards.
+    in_specs = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(REPLICA_AXIS))
+    if use_split:
+        in_specs = in_specs + (P(AXIS), P(AXIS))
     fn = jax.shard_map(
         per_device,
         mesh=mesh,
-        # db/norms/gids/ntotals: sharded over `shards`, replicated over
-        # `replicas`; queries: split over `replicas`, replicated over shards.
-        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(REPLICA_AXIS)),
+        in_specs=in_specs,
         out_specs=(P(REPLICA_AXIS), P(REPLICA_AXIS)),
         check_vma=False,
     )
@@ -312,7 +318,13 @@ class ShardedIndexFlat:
             np.asarray([s.store.ntotal for s in self.shards], np.int32),
             NamedSharding(self.mesh, P(AXIS)),
         )
-        self._assembled = (db, norms, gids, ntotals, cap)
+        split = ()
+        if self.shards[0].store.db_hi is not None:  # fp32 storage
+            split = (
+                global_arr([s.store.db_hi for s in self.shards], (d_pad,)),
+                global_arr([s.store.db_lo for s in self.shards], (d_pad,)),
+            )
+        self._assembled = (db, norms, gids, ntotals, cap, split)
         return self._assembled
 
     # -- search -------------------------------------------------------------------
@@ -341,7 +353,7 @@ class ShardedIndexFlat:
         q, nq, nq_pad = self._prep_queries(x)
         if self.ntotal == 0:
             return None, nq, nq_pad
-        db, norms, gids, ntotals, cap = self._assemble()
+        db, norms, gids, ntotals, cap, split = self._assemble()
         max_local = max(s.store.ntotal for s in self.shards)
         nv_eff = min(cap, _round_up(max(max_local, 1), ROW_TILE))
         chunk = self.res.capabilities.tuning.chunk_v
@@ -353,18 +365,20 @@ class ShardedIndexFlat:
             itemsize=jnp.dtype(self.shards[0].store.dtype).itemsize,
         )
         interpret = not self.res.capabilities.is_tpu
+        use_split = use_fused and bool(split)
         key = ("sharded_search", self.num_shards, self.num_replicas, nv_eff,
                cap, d_pad, nq_pad, int(k), self.metric,
-               self.storage_type, chunk, use_fused)
+               self.storage_type, chunk, use_fused, use_split)
         fn = self.res.cached(
             key,
             lambda: _build_sharded_search_fn(
                 mesh=self.mesh, nv_eff=nv_eff, nq_pad=nq_local, k=int(k),
                 metric=self.metric, chunk=chunk,
-                use_fused=use_fused, interpret=interpret,
+                use_fused=use_fused, use_split=use_split, interpret=interpret,
             ),
         )
-        dists, glabels = fn(db, norms, gids, ntotals, q)
+        args = (db, norms, gids, ntotals, q) + (split if use_split else ())
+        dists, glabels = fn(*args)
         return (dists, glabels), nq, nq_pad
 
     def search(self, x: np.ndarray, k: int,

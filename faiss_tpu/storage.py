@@ -55,6 +55,25 @@ def _norms_f32(x: jax.Array) -> jax.Array:
     return jnp.sum(x * x, axis=-1, dtype=jnp.float32)
 
 
+@jax.jit
+def split_f32_bf16(x: jax.Array):
+    """Split fp32 into (hi, lo) bf16 so hi+lo ≈ x to ~2^-16 relative.
+
+    `hi` is x TRUNCATED to bf16 via bit masking — an arithmetic
+    `x - x.astype(bf16)` gets elided by XLA's excess-precision
+    simplifier (lo would be all zeros); the bitcast form cannot be.
+    Used by the fused kernel's fp32 sweep: three bf16 MXU passes
+    (hi·hi + hi·lo + lo·hi) give fp32-grade ranking at bf16 compile cost.
+    """
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    hi_f32 = jax.lax.bitcast_convert_type(
+        u & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+    hi = hi_f32.astype(jnp.bfloat16)  # exact: already bf16-representable
+    lo = (x - hi_f32).astype(jnp.bfloat16)
+    return hi, lo
+
+
 def _append_fn(db, norms, vecs, new_norms, offset):
     """Donated in-place append of n rows at `offset` (traced as dynamic)."""
     db = jax.lax.dynamic_update_slice(db, vecs, (offset, 0))
@@ -63,6 +82,13 @@ def _append_fn(db, norms, vecs, new_norms, offset):
 
 
 _append_jit = jax.jit(_append_fn, donate_argnums=(0, 1))
+
+
+def _append1_fn(buf, rows, offset):
+    return jax.lax.dynamic_update_slice(buf, rows, (offset, 0))
+
+
+_append1_jit = jax.jit(_append1_fn, donate_argnums=(0,))
 
 
 def _grow_fn(old_db, old_norms, new_capacity: int):
@@ -105,6 +131,11 @@ class DeviceStore:
         self.capacity = 0
         self.db: Optional[jax.Array] = None       # (capacity, d_pad) self.dtype
         self.norms: Optional[jax.Array] = None    # (capacity,) f32; zeros for IP
+        # fp32 storage only: derived bf16 hi/lo pair for the fused sweep
+        # (three bf16 MXU passes ≈ fp32 ranking; master fp32 db stays the
+        # source of truth for rescore/reconstruct). +4 bytes/element.
+        self.db_hi: Optional[jax.Array] = None
+        self.db_lo: Optional[jax.Array] = None
 
     # -- helpers --------------------------------------------------------------
     def _put(self, x):
@@ -112,9 +143,18 @@ class DeviceStore:
             return jax.device_put(x, self.device)
         return jax.device_put(x)
 
+    @property
+    def _has_split(self) -> bool:
+        return self.storage is StorageType.FLOAT32
+
     def _alloc(self, capacity: int) -> None:
         self.db = self._put(jnp.zeros((capacity, self.d_pad), self.dtype))
         self.norms = self._put(jnp.zeros((capacity,), jnp.float32))
+        if self._has_split:
+            self.db_hi = self._put(
+                jnp.zeros((capacity, self.d_pad), jnp.bfloat16))
+            self.db_lo = self._put(
+                jnp.zeros((capacity, self.d_pad), jnp.bfloat16))
         self.capacity = capacity
 
     def _ensure_capacity(self, needed: int) -> None:
@@ -124,9 +164,24 @@ class DeviceStore:
         if self.capacity > 0:
             new_cap = max(new_cap, 2 * self.capacity)  # amortized doubling
             self.db, self.norms = _grow_jit(self.db, self.norms, new_cap)
+            if self._has_split:
+                self.db_hi = self._grow_one(self.db_hi, new_cap)
+                self.db_lo = self._grow_one(self.db_lo, new_cap)
             self.capacity = new_cap
         else:
             self._alloc(new_cap)
+
+    def _grow_one(self, buf: jax.Array, new_cap: int) -> jax.Array:
+        out = jnp.zeros((new_cap,) + buf.shape[1:], buf.dtype)
+        return jax.lax.dynamic_update_slice(out, buf, (0,) * buf.ndim)
+
+    def _update_split(self, vecs_f32: jax.Array, offset: int) -> None:
+        """Maintain the derived bf16 hi/lo pair for fp32 storage."""
+        if not self._has_split:
+            return
+        hi, lo = split_f32_bf16(vecs_f32)
+        self.db_hi = _append1_jit(self.db_hi, hi, offset)
+        self.db_lo = _append1_jit(self.db_lo, lo, offset)
 
     def pad_queries(self, q: jax.Array) -> jax.Array:
         """Pad (nq, d) fp32 queries to (nq, d_pad)."""
@@ -169,7 +224,8 @@ class DeviceStore:
                 new_norms = jnp.zeros((n,), jnp.float32)
             if self.d_pad != self.d:
                 xd = jnp.pad(xd, ((0, 0), (0, self.d_pad - self.d)))
-            vecs = xd.astype(self.dtype)  # RNE, on device
+            self._update_split(xd, self.ntotal)
+            vecs = xd.astype(self.dtype)  # RNE, on device (no-op for f32)
         self.db, self.norms = _append_jit(
             self.db, self.norms, vecs, new_norms, self.ntotal
         )
@@ -190,6 +246,7 @@ class DeviceStore:
             new_norms = jnp.zeros((n,), jnp.float32)
         if self.d_pad != self.d:
             xd = jnp.pad(xd, ((0, 0), (0, self.d_pad - self.d)))
+        self._update_split(xd, self.ntotal)
         self.db, self.norms = _append_jit(
             self.db, self.norms, xd.astype(self.dtype), new_norms, self.ntotal
         )
@@ -220,6 +277,8 @@ class DeviceStore:
         src/MetalIndexFlat.mm:492-506)."""
         self.db = None
         self.norms = None
+        self.db_hi = None
+        self.db_lo = None
         self.ntotal = 0
         self.capacity = 0
 
