@@ -51,12 +51,14 @@ FUSED_MAX_GROUP_FRACTION = 4     # kg must be ≤ ngroups/4 or gathering ≈ ful
 
 
 def _pick_block_v(d_pad: int, itemsize: int, nv: int) -> int:
-    """Largest db tile (rows) that keeps a double-buffered tile ≤ ~1.5 MB."""
-    budget = 1536 * 1024
-    for bv in (4096, 2048, 1024, 512, 256, 128):
+    """db tile rows: large enough that the out block (block_v/GROUP rows)
+    meets the 8-sublane constraint (→ ≥ 1024), small enough to double-buffer
+    in VMEM. nv_eff is always 1024-aligned so 1024 divides."""
+    budget = 2 * 1024 * 1024
+    for bv in (4096, 2048, 1024):
         if bv * d_pad * itemsize <= budget and nv % bv == 0:
             return bv
-    return 128
+    return 1024  # fused_path_eligible bounds d_pad so this still fits VMEM
 
 
 def _epilogue(dots, vn_ref, nt_ref, out_ref, *, metric, block_v, nq_pad):
@@ -265,7 +267,10 @@ def fused_path_eligible(*, metric: MetricType, k: int, nv_eff: int,
     phase-3 gather volume). Large-k works as long as the per-query candidate
     gather (kg groups × 128 rows × d) fits the budget and selecting kg groups
     is meaningfully sparser than scanning everything."""
-    if nv_eff < FUSED_MIN_NV or d_pad > 2048:
+    # VMEM bound at the minimum block_v of 1024 rows: bf16/f16 tiles up to
+    # d=2048 fit; fp32's double (hi, lo) tile pair needs d ≤ 1024.
+    d_cap = 1024 if itemsize == 4 else 2048
+    if nv_eff < FUSED_MIN_NV or d_pad > d_cap:
         return False
     ngroups = nv_eff // GROUP
     kg = min(k + GROUP_PAD, ngroups)

@@ -41,7 +41,9 @@ class BenchResult:
                 f"pipe={self.pipelined_ms:8.2f}ms qps={self.qps:10.1f}{r}")
 
 
-PIPELINE_DEPTH = 8
+# ~25 ms tunnel RPC per dispatch amortizes over the in-flight window; the
+# on-device work per batch is ~1 ms, so depth 32 makes RPC negligible.
+PIPELINE_DEPTH = 32
 WARMUP = 3
 ITERS = 10
 
