@@ -46,8 +46,13 @@ NEG_INF = float("-inf")
 # fused-path eligibility (dispatch heuristics, named like the reference's
 # MetalDistance.mm:344-353 gate constants)
 FUSED_MIN_NV = 8192             # below this the plain XLA path is already tiny
-FUSED_GATHER_BUDGET = 512 << 20  # max bytes the phase-3 gather may materialize
-FUSED_MAX_GROUP_FRACTION = 4     # kg must be ≤ ngroups/4 or gathering ≈ full scan
+FUSED_GATHER_BUDGET = 1 << 30    # hard cap on phase-3 gather materialization
+# Cost-model coefficients, in bytes-of-HBM-traffic-equivalent per element
+# (anchored on v5e measurements, 2026-08: plain materializes the nq×nv fp32
+# score matrix (write+read ≈ 8 B/score) and its top_k cost grows with k;
+# fused pays the gather twice (read rows + batched-dot re-read)).
+PLAIN_SCORE_BYTES = 8.0
+PLAIN_TOPK_BYTES_PER_K16 = 1.0  # + k/16 bytes/score for lax.top_k
 
 
 def _pick_block_v(d_pad: int, itemsize: int, nv: int) -> int:
@@ -264,9 +269,12 @@ def fused_path_eligible(*, metric: MetricType, k: int, nv_eff: int,
                         itemsize: int = 2) -> bool:
     """Dispatch gate (≈ MetalDistance::encodeFused gate, mm:346-353 — but our
     fused kernel handles all nq, both metrics and large k; the gate is about
-    phase-3 gather volume). Large-k works as long as the per-query candidate
-    gather (kg groups × 128 rows × d) fits the budget and selecting kg groups
-    is meaningfully sparser than scanning everything."""
+    phase-3 gather volume). The decision is a traffic cost model (v5e
+    measured): the plain path's extra cost is materializing the nq×nv fp32
+    score matrix plus a k-scaled lax.top_k over it; the fused path's extra
+    cost is the candidate gather + rescore. Large-k passes for small query
+    batches; large-d/small-nv shapes (where the gather rivals the sweep)
+    route to the XLA paths."""
     # VMEM bound at the minimum block_v of 1024 rows: bf16/f16 tiles up to
     # d=2048 fit; fp32's double (hi, lo) tile pair needs d ≤ 1024.
     d_cap = 1024 if itemsize == 4 else 2048
@@ -275,5 +283,10 @@ def fused_path_eligible(*, metric: MetricType, k: int, nv_eff: int,
     ngroups = nv_eff // GROUP
     kg = min(k + GROUP_PAD, ngroups)
     gather_bytes = nq_pad * kg * GROUP * d_pad * itemsize
-    return (gather_bytes <= FUSED_GATHER_BUDGET
-            and kg * FUSED_MAX_GROUP_FRACTION <= ngroups)
+    if gather_bytes > FUSED_GATHER_BUDGET:
+        return False
+    plain_extra = nq_pad * nv_eff * (
+        PLAIN_SCORE_BYTES + PLAIN_TOPK_BYTES_PER_K16 * k / 16.0
+    )
+    fused_extra = 2.0 * gather_bytes + nq_pad * ngroups * 8.0
+    return fused_extra < plain_extra

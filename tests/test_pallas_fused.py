@@ -113,17 +113,23 @@ def test_fused_index_integration():
 
 def test_eligibility_gate():
     ok = pallas_fused.fused_path_eligible
+    # SIFT1M shape: fused wins (score materialization dominates)
     assert ok(metric=MetricType.L2, k=10, nv_eff=1 << 20, d_pad=128)
-    # large-k allowed when the gather fits (few queries)…
+    # large-k allowed when the gather stays below plain's k-scaled topk cost
     assert ok(metric=MetricType.L2, k=1024, nv_eff=1 << 20, d_pad=128,
               nq_pad=8)
-    # …but not when nq × kg × G × d outgrows the budget
-    assert not ok(metric=MetricType.L2, k=1024, nv_eff=1 << 20, d_pad=128,
-                  nq_pad=128)
-    # nor when selecting kg groups ≈ scanning everything
-    assert not ok(metric=MetricType.L2, k=1024, nv_eff=8192, d_pad=128,
-                  nq_pad=8)
+    # large-d small-nv: gather rivals the sweep → plain path (measured 7×
+    # slower fused on v5e at this shape)
+    assert not ok(metric=MetricType.L2, k=10, nv_eff=1 << 16, d_pad=1536,
+                  nq_pad=16)
+    # k=100 over a modest db with many queries: gather outweighs
+    assert not ok(metric=MetricType.L2, k=100, nv_eff=1 << 17, d_pad=768,
+                  nq_pad=104)
+    # tiny db: plain is already trivial
     assert not ok(metric=MetricType.L2, k=10, nv_eff=1024, d_pad=128)
+    # fp32 hi/lo tile pair caps d at 1024
+    assert not ok(metric=MetricType.L2, k=10, nv_eff=1 << 20, d_pad=1536,
+                  itemsize=4)
 
 
 def test_fused_large_k():
