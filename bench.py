@@ -7,7 +7,8 @@ acceptance bar), measured as pipelined-async throughput (the axon tunnel adds
 is also how a serving deployment would run). A bf16-storage variant (2× less
 HBM traffic) is reported in the metric string.
 
-Each storage config runs in its own subprocess with a hard timeout so a
+Both storage configs run in ONE subprocess (a device claim through the
+tunnel can take minutes — claim once) with a hard process-group timeout so a
 wedged device/tunnel can never hang the driver; whatever completed is
 reported.
 
@@ -26,7 +27,7 @@ import tempfile
 
 BASELINE_QPS = 2600.0
 NV, D, NQ, K = 1_000_000, 128, 100, 10
-SUBPROC_TIMEOUT_S = 900
+SUBPROC_TIMEOUT_S = 2400
 
 _CHILD_SRC = r"""
 import json, sys, time
@@ -34,20 +35,21 @@ import numpy as np
 import faiss_tpu
 from faiss_tpu.utils.profiling import measure_search, _oracle_recall
 
-storage = sys.argv[1]
-NV, D, NQ, K = map(int, sys.argv[2:6])
+NV, D, NQ, K = map(int, sys.argv[1:5])
 rng = np.random.default_rng(42)
 xb = rng.standard_normal((NV, D), dtype=np.float32)
 xq = rng.standard_normal((NQ, D), dtype=np.float32)
-idx = faiss_tpu.TpuIndexFlat(D, metric="l2", storage=storage)
-t0 = time.perf_counter(); idx.add(xb); add_s = time.perf_counter() - t0
-lat, pipe = measure_search(idx, xq, K)
-D_out, I_out = idx.search(xq, K)
-recall = _oracle_recall(xb, xq, K, "l2", I_out, sample=16)
-print("RESULT " + json.dumps({
-    "storage": storage, "qps": NQ / (pipe / 1e3), "latency_ms": lat,
-    "pipelined_ms": pipe, "recall": recall, "add_s": add_s,
-}), flush=True)
+for storage in ("f32", "bf16"):   # one process = one device claim for both
+    idx = faiss_tpu.TpuIndexFlat(D, metric="l2", storage=storage)
+    t0 = time.perf_counter(); idx.add(xb); add_s = time.perf_counter() - t0
+    lat, pipe = measure_search(idx, xq, K)
+    D_out, I_out = idx.search(xq, K)
+    recall = _oracle_recall(xb, xq, K, "l2", I_out, sample=16)
+    print("RESULT " + json.dumps({
+        "storage": storage, "qps": NQ / (pipe / 1e3), "latency_ms": lat,
+        "pipelined_ms": pipe, "recall": recall, "add_s": add_s,
+    }), flush=True)
+    del idx
 """
 
 
@@ -75,50 +77,36 @@ def _run_isolated(argv, timeout_s: int, env=None):
         return out.read()
 
 
-def run_config(storage: str):
+def run_all():
+    """One subprocess measures both storage configs (a device claim through
+    the tunnel can take minutes, so claim once)."""
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__)) + (
         os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
     )
     text = _run_isolated(
-        [sys.executable, "-c", _CHILD_SRC, storage,
+        [sys.executable, "-c", _CHILD_SRC,
          str(NV), str(D), str(NQ), str(K)],
         SUBPROC_TIMEOUT_S, env=env,
     )
+    results = {}
     if text is None:
-        sys.stderr.write(f"[bench] {storage}: timed out after "
-                         f"{SUBPROC_TIMEOUT_S}s\n")
-        return None
+        sys.stderr.write(f"[bench] timed out after {SUBPROC_TIMEOUT_S}s\n")
+        return results
     for line in text.splitlines():
         if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
-    sys.stderr.write(f"[bench] {storage}: no result; output tail:\n"
-                     + "\n".join(text.splitlines()[-5:]) + "\n")
-    return None
-
-
-def _device_alive(timeout_s: int = 120) -> bool:
-    """Cheap probe so a dead device/tunnel fails fast, not 2× the full
-    per-config timeout."""
-    text = _run_isolated(
-        [sys.executable, "-c",
-         "import jax, jax.numpy as jnp;"
-         "print('ALIVE', float(jnp.sum(jnp.ones((4,4)))))"],
-        timeout_s,
-    )
-    return text is not None and "ALIVE" in text
+            r = json.loads(line[len("RESULT "):])
+            results[r["storage"]] = r
+    if not results:
+        sys.stderr.write("[bench] no results; output tail:\n"
+                         + "\n".join(text.splitlines()[-5:]) + "\n")
+    return results
 
 
 def main():
-    if not _device_alive():
-        print(json.dumps({
-            "metric": "SIFT1M-shape exact L2 QPS (bench could not run: "
-                      "device probe timed out)",
-            "value": 0.0, "unit": "QPS", "vs_baseline": 0.0,
-        }))
-        return
-    r32 = run_config("f32")
-    r16 = run_config("bf16")
+    rs = run_all()
+    r32 = rs.get("f32")
+    r16 = rs.get("bf16")
     best = r32 or r16
     if best is None:
         print(json.dumps({

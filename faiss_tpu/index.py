@@ -155,8 +155,10 @@ class TpuSearchToken:
 
     def wait(self) -> Tuple[np.ndarray, np.ndarray]:
         if self._result is None:
-            d = np.asarray(jax.device_get(self._dists))[: self._nq]
-            i = np.asarray(jax.device_get(self._labels))[: self._nq]
+            # one device_get for both outputs: a transfer is a full host
+            # round trip (25 ms through a tunneled device), so don't pay twice
+            d, i = jax.device_get((self._dists, self._labels))
+            d, i = np.asarray(d)[: self._nq], np.asarray(i)[: self._nq]
             self._result = (
                 np.ascontiguousarray(d, dtype=np.float32),
                 np.ascontiguousarray(i, dtype=np.int64),

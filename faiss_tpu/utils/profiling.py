@@ -61,16 +61,18 @@ def measure_search(index, xq: np.ndarray, k: int,
         lat.append(time.perf_counter() - t0)
     latency = min(lat)
 
-    # pipelined: keep `depth` async searches in flight
+    # pipelined: `depth` whole searches in flight on a thread pool, so every
+    # per-call host round trip (query upload, dispatch, result fetch — each
+    # a full RPC through a tunneled device) overlaps across calls. This is
+    # the serving pattern: concurrent request handlers sharing one index.
+    import concurrent.futures as cf
+
     n_total = max(iters, depth * 2)
     t0 = time.perf_counter()
-    toks: List = []
-    for i in range(n_total):
-        toks.append(index.search_async(xq, k))
-        if len(toks) > depth:
-            toks.pop(0).wait()
-    for t in toks:
-        t.wait()
+    with cf.ThreadPoolExecutor(max_workers=depth) as pool:
+        futs = [pool.submit(index.search, xq, k) for _ in range(n_total)]
+        for f in futs:
+            f.result()
     pipelined = (time.perf_counter() - t0) / n_total
     return latency * 1e3, pipelined * 1e3
 
