@@ -240,16 +240,27 @@ def fused_search(
     )
     rows = jnp.take(db_g, gidx.reshape(-1), axis=0)
     rows = rows.reshape(nq_pad, kg * GROUP, d_pad)
-    # Rescore in full fp32: exact w.r.t. the *stored* (possibly quantized)
-    # vectors, strictly more accurate than the bf16 sweep. The sweep only
-    # nominates groups; GROUP_PAD extra groups absorb its rounding at the
-    # selection boundary. Final distances are therefore fp32-true.
-    dots = jax.lax.dot_general(
-        queries_f32, rows.astype(jnp.float32),
-        dimension_numbers=(((1,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )                                               # (nq_pad, kg*GROUP)
+    # Rescore exactly w.r.t. the *stored* (possibly quantized) vectors —
+    # strictly more accurate than the sweep, whose only job is nominating
+    # groups (GROUP_PAD absorbs its rounding at the selection boundary).
+    dn = (((1,), (2,)), ((0,), (0,)))
+    if rows.dtype == jnp.bfloat16:
+        # bf16 rows: bf16×bf16 products are exact in fp32, so an EXACT 3-way
+        # query split gives fp32-true scores in three MXU passes — and skips
+        # materializing an fp32 copy of the gathered rows.
+        from ..storage import split3_f32_bf16
+
+        dots = None
+        for q_part in split3_f32_bf16(queries_f32):
+            d_part = jax.lax.dot_general(q_part, rows, dn,
+                                         preferred_element_type=jnp.float32)
+            dots = d_part if dots is None else dots + d_part
+    else:
+        dots = jax.lax.dot_general(
+            queries_f32, rows.astype(jnp.float32), dn,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                           # (nq_pad, kg*GROUP)
     if metric is MetricType.L2:
         vn_g = jax.lax.slice_in_dim(db_norms, 0, nv_eff, axis=0).reshape(
             ngroups, GROUP

@@ -74,6 +74,27 @@ def split_f32_bf16(x: jax.Array):
     return hi, lo
 
 
+@jax.jit
+def split3_f32_bf16(x: jax.Array):
+    """EXACT 3-way split: x == hi + mid + lo (each bf16, as fp32 values).
+
+    fp32 has 24 mantissa bits = 3 × bf16's 8; truncating twice leaves a
+    residual with ≤ 8 significant bits, so the last term is exact. Used for
+    fp32-true rescoring against bf16-stored rows in three MXU passes.
+    """
+    def trunc(v):
+        u = jax.lax.bitcast_convert_type(v, jnp.uint32)
+        return jax.lax.bitcast_convert_type(
+            u & jnp.uint32(0xFFFF0000), jnp.float32
+        )
+
+    hi_f32 = trunc(x)
+    r1 = x - hi_f32
+    mid_f32 = trunc(r1)
+    lo = (r1 - mid_f32).astype(jnp.bfloat16)
+    return hi_f32.astype(jnp.bfloat16), mid_f32.astype(jnp.bfloat16), lo
+
+
 def _append_fn(db, norms, vecs, new_norms, offset):
     """Donated in-place append of n rows at `offset` (traced as dynamic)."""
     db = jax.lax.dynamic_update_slice(db, vecs, (offset, 0))
