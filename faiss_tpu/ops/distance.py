@@ -32,11 +32,10 @@ import jax.numpy as jnp
 from ..dtypes import MetricType
 from . import l2norm
 
-# Problem-size heuristics, named like the reference's dispatch constants
-# (MetalDistance.mm:238 — direct path when nv≤256; :258 — large tile gate;
-# :346-353 — fused gate nq·nv ≥ 8e6 ∧ nq ≤ 4 ∧ k ≤ 32).
+# Problem-size heuristic, named like the reference's dispatch constant
+# (MetalDistance.mm:238 — direct path when nv≤256). The fused-path gate lives
+# in ops/pallas_fused.fused_path_eligible (a measured cost model).
 DIRECT_PATH_MAX_NV = 256          # tiny-db: skip the MXU, do exact per-pair L2
-FUSED_MIN_WORK = 8_000_000        # min nq·nv before the streaming fused kernel pays
 
 
 def matmul_scores(
