@@ -232,7 +232,10 @@ class TpuIndexFlat:
         return self.store.vectors_numpy()
 
     # -- search -------------------------------------------------------------------
-    def _prep_queries(self, x: np.ndarray) -> Tuple[jax.Array, int, int]:
+    def _prep_queries(self, x: np.ndarray) -> Tuple[np.ndarray, int, int]:
+        """Pad on the host (numpy) and let the jitted call do ONE transfer —
+        separate asarray/pad/device_put ops each cost a dispatch round trip
+        on remote-attached devices."""
         x = np.ascontiguousarray(x, dtype=np.float32)
         if x.ndim == 1:
             x = x[None, :]
@@ -240,11 +243,13 @@ class TpuIndexFlat:
             raise ValueError(f"expected (n, {self.d}) queries, got {x.shape}")
         nq = x.shape[0]
         nq_pad = max(NQ_PAD, _round_up(nq, NQ_PAD))
-        q = jnp.asarray(x)
-        if nq_pad != nq:
-            q = jnp.pad(q, ((0, nq_pad - nq), (0, 0)))
-        q = self.store.pad_queries(q)
-        return jax.device_put(q, self.res.default_device), nq, nq_pad
+        d_pad = self.store.d_pad
+        if nq_pad != nq or d_pad != self.d:
+            q = np.zeros((nq_pad, d_pad), np.float32)
+            q[:nq, : self.d] = x
+        else:
+            q = x
+        return q, nq, nq_pad
 
     def _empty_result(self, nq: int, k: int) -> Tuple[np.ndarray, np.ndarray]:
         d = np.full((nq, k), worst_distance(self.metric), np.float32)
