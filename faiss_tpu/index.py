@@ -277,6 +277,7 @@ class TpuIndexFlat:
                 metric=self.metric, k=int(k), nv_eff=nv_eff,
                 d_pad=self.store.d_pad, nq_pad=nq_pad,
                 itemsize=jnp.dtype(self.store.dtype).itemsize,
+                dtype=self.store.dtype,
             )
         )
         interpret = not self.res.capabilities.is_tpu

@@ -277,7 +277,7 @@ def fused_search(
 
 def fused_path_eligible(*, metric: MetricType, k: int, nv_eff: int,
                         d_pad: int, nq_pad: int = 128,
-                        itemsize: int = 2) -> bool:
+                        itemsize: int = 2, dtype=None) -> bool:
     """Dispatch gate (≈ MetalDistance::encodeFused gate, mm:346-353 — but our
     fused kernel handles all nq, both metrics and large k; the gate is about
     phase-3 gather volume). The decision is a traffic cost model (v5e
@@ -286,7 +286,11 @@ def fused_path_eligible(*, metric: MetricType, k: int, nv_eff: int,
     cost is the candidate gather + rescore. Large-k passes for small query
     batches; large-d/small-nv shapes (where the gather rivals the sweep)
     route to the XLA paths."""
-    # VMEM bound at the minimum block_v of 1024 rows: bf16/f16 tiles up to
+    # Mosaic has no f16 MXU type ("Unsupported type in mosaic dialect: f16");
+    # f16 storage runs on the XLA paths (which upcast f16 fine).
+    if dtype is not None and jnp.dtype(dtype) == jnp.float16:
+        return False
+    # VMEM bound at the minimum block_v of 1024 rows: bf16 tiles up to
     # d=2048 fit; fp32's double (hi, lo) tile pair needs d ≤ 1024.
     d_cap = 1024 if itemsize == 4 else 2048
     if nv_eff < FUSED_MIN_NV or d_pad > d_cap:

@@ -363,6 +363,7 @@ class ShardedIndexFlat:
             metric=self.metric, k=int(k), nv_eff=nv_eff, d_pad=d_pad,
             nq_pad=nq_local,
             itemsize=jnp.dtype(self.shards[0].store.dtype).itemsize,
+            dtype=self.shards[0].store.dtype,
         )
         interpret = not self.res.capabilities.is_tpu
         use_split = use_fused and bool(split)
