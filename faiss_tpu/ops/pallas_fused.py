@@ -25,6 +25,12 @@ ascending-id column ranges and phase-2/3 use lax.top_k (lowest index wins),
 so ties resolve to the lowest global id. ``GROUP_PAD`` extra groups absorb
 float nondeterminism between the kernel dot and the rescore dot at the group
 boundary.
+
+Related work: this is an EXACT member of the two-stage top-k family
+("A Faster Generalized Two-Stage Approximate Top-K", arXiv 2506.04165;
+TPU-KNN, arXiv 2206.14286 uses the hardware PartialReduce for the
+approximate version) — exactness comes from the group-max bound plus the
+full gather/rescore of the nominated groups, not from recall tuning.
 """
 
 from __future__ import annotations
