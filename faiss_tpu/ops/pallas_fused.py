@@ -201,6 +201,101 @@ def groupmax_scores(
     return out.T  # back to (nq_pad, ngroups)
 
 
+def _rescore_kernel(gidx_ref, nt_ref, q0_ref, q1_ref, q2_ref, db_ref, vn_ref,
+                    out_ref, *, kg, metric):
+    """One (query, group) pair per grid step: the db block arrives via a
+    scalar-prefetched index map (a hardware-pipelined gather of contiguous
+    32 KB group blocks), rescored with three exact-product bf16 dots."""
+    t = pl.program_id(0)
+    i = t // kg
+    j = t % kg
+    g = gidx_ref[i, j]
+    dn = (((1,), (1,)), ((), ()))
+    acc = jax.lax.dot_general(q0_ref[:], db_ref[:], dn,
+                              preferred_element_type=jnp.float32)
+    acc += jax.lax.dot_general(q1_ref[:], db_ref[:], dn,
+                               preferred_element_type=jnp.float32)
+    acc += jax.lax.dot_general(q2_ref[:], db_ref[:], dn,
+                               preferred_element_type=jnp.float32)  # (8, G)
+    if metric is MetricType.L2:
+        s = 2.0 * acc - vn_ref[0, :][None, :]
+    else:
+        s = acc
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, GROUP), 1) + g * GROUP
+    s = jnp.where(col < nt_ref[0], s, NEG_INF)
+    # Only row i%8 of the 8-row dot block scores THIS query's group (each
+    # query has its own candidate list). Mosaic requires 8-aligned sublane
+    # stores, so write the whole aligned stripe: the stripe's first visitor
+    # (i%8 == 0) initializes it, later visitors accumulate their masked row.
+    rowsel = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == (i % 8)
+    blk = jnp.where(rowsel, s, 0.0)
+    base = pl.multiple_of((i // 8) * 8, 8)
+
+    @pl.when(i % 8 == 0)
+    def _():
+        out_ref[pl.ds(base, 8), pl.ds(j * GROUP, GROUP)] = blk
+
+    @pl.when(i % 8 != 0)
+    def _():
+        out_ref[pl.ds(base, 8), pl.ds(j * GROUP, GROUP)] += blk
+
+
+def rescore_groups_pallas(
+    queries_f32: jax.Array,   # (nq_pad, d_pad) fp32
+    db: jax.Array,            # (nv_eff·…, d_pad) bf16 rows
+    db_norms: jax.Array,      # (…,) f32
+    gidx: jax.Array,          # (nq_pad, kg) int32, id-ascending per row
+    ntotal: jax.Array,        # scalar int32
+    *,
+    metric: MetricType,
+    nv_eff: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """(nq_pad, kg·GROUP) fp32-true scores for each query's candidate groups.
+
+    Exactness: bf16×bf16 products are exact in fp32 and the query is split
+    3-way exactly (split3_f32_bf16), so scores match an fp32 rescore."""
+    from ..storage import split3_f32_bf16
+
+    nq_pad, d_pad = queries_f32.shape
+    kg = gidx.shape[1]
+    q0, q1, q2 = split3_f32_bf16(queries_f32)
+    vn = jax.lax.slice_in_dim(db_norms, 0, nv_eff, axis=0).reshape(1, nv_eff)
+    dbs = jax.lax.slice_in_dim(db, 0, nv_eff, axis=0)
+
+    def q_idx(t, gidx_ref, nt_ref):
+        return ((t // kg) // 8, 0)
+
+    def db_idx(t, gidx_ref, nt_ref):
+        return (gidx_ref[t // kg, t % kg], 0)
+
+    def vn_idx(t, gidx_ref, nt_ref):
+        return (0, gidx_ref[t // kg, t % kg])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nq_pad * kg,),
+        in_specs=[
+            pl.BlockSpec((8, d_pad), q_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, d_pad), q_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, d_pad), q_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP, d_pad), db_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, GROUP), vn_idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (nq_pad, kg * GROUP), lambda t, g, n: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    kernel = functools.partial(_rescore_kernel, kg=kg, metric=metric)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nq_pad, kg * GROUP), jnp.float32),
+        interpret=interpret,
+    )(gidx, jnp.asarray(ntotal, jnp.int32).reshape(1), q0, q1, q2, dbs, vn)
+
+
 def fused_search(
     queries_f32: jax.Array,    # (nq_pad, d_pad) fp32
     db: jax.Array,             # (capacity, d_pad) storage dtype
@@ -235,46 +330,44 @@ def fused_search(
     _, gidx = jax.lax.top_k(gmax, kg)              # (nq_pad, kg)
     gidx = jnp.sort(gidx, axis=-1)
 
-    # phase 3 — gather candidate groups and rescore exactly. Groups are
-    # contiguous row-blocks, so reshaping db to one row per group makes every
-    # gathered element a single fat contiguous slice (measured ~6× faster
-    # than a row-granular take on v5e).
+    # phase 3 — gather candidate groups and rescore exactly w.r.t. the
+    # *stored* (possibly quantized) vectors — strictly more accurate than
+    # the sweep, whose only job is nominating groups (GROUP_PAD absorbs its
+    # rounding at the selection boundary).
     offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, GROUP), 2)
     cols = (gidx[:, :, None] * GROUP + offs).reshape(nq_pad, kg * GROUP)
-    db_g = jax.lax.slice_in_dim(db, 0, nv_eff, axis=0).reshape(
-        ngroups, GROUP * d_pad
-    )
-    rows = jnp.take(db_g, gidx.reshape(-1), axis=0)
-    rows = rows.reshape(nq_pad, kg * GROUP, d_pad)
-    # Rescore exactly w.r.t. the *stored* (possibly quantized) vectors —
-    # strictly more accurate than the sweep, whose only job is nominating
-    # groups (GROUP_PAD absorbs its rounding at the selection boundary).
-    dn = (((1,), (2,)), ((0,), (0,)))
-    if rows.dtype == jnp.bfloat16:
-        # bf16 rows: bf16×bf16 products are exact in fp32, so an EXACT 3-way
-        # query split gives fp32-true scores in three MXU passes — and skips
-        # materializing an fp32 copy of the gathered rows.
-        from ..storage import split3_f32_bf16
-
-        dots = None
-        for q_part in split3_f32_bf16(queries_f32):
-            d_part = jax.lax.dot_general(q_part, rows, dn,
-                                         preferred_element_type=jnp.float32)
-            dots = d_part if dots is None else dots + d_part
+    if db.dtype == jnp.bfloat16:
+        # bf16 rows: the scalar-prefetch Pallas kernel pipelines the group
+        # gather as contiguous 32 KB block DMAs and rescores in-kernel with
+        # an exact 3-way query split (fp32-true; bf16×bf16 products are
+        # exact in fp32).
+        s = rescore_groups_pallas(
+            queries_f32, db, db_norms, gidx, ntotal,
+            metric=metric, nv_eff=nv_eff, interpret=interpret,
+        )
     else:
+        # fp32 rows: gather contiguous group slices (reshaped one-row-per-
+        # group: ~6× faster than a row-granular take) + HIGHEST XLA dot so
+        # ids match the plain fp32 path bit-for-bit.
+        db_g = jax.lax.slice_in_dim(db, 0, nv_eff, axis=0).reshape(
+            ngroups, GROUP * d_pad
+        )
+        rows = jnp.take(db_g, gidx.reshape(-1), axis=0)
+        rows = rows.reshape(nq_pad, kg * GROUP, d_pad)
+        dn = (((1,), (2,)), ((0,), (0,)))
         dots = jax.lax.dot_general(
             queries_f32, rows.astype(jnp.float32), dn,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )                                           # (nq_pad, kg*GROUP)
-    if metric is MetricType.L2:
-        vn_g = jax.lax.slice_in_dim(db_norms, 0, nv_eff, axis=0).reshape(
-            ngroups, GROUP
-        )
-        vn = jnp.take(vn_g, gidx.reshape(-1), axis=0)
-        s = 2.0 * dots - vn.reshape(nq_pad, kg * GROUP)
-    else:
-        s = dots
+        if metric is MetricType.L2:
+            vn_g = jax.lax.slice_in_dim(db_norms, 0, nv_eff, axis=0).reshape(
+                ngroups, GROUP
+            )
+            vn = jnp.take(vn_g, gidx.reshape(-1), axis=0)
+            s = 2.0 * dots - vn.reshape(nq_pad, kg * GROUP)
+        else:
+            s = dots
     s = jnp.where(cols < ntotal, s, NEG_INF)
     vals, pos = jax.lax.top_k(s, k_eff)
     ids = jnp.take_along_axis(cols, pos, axis=-1)
