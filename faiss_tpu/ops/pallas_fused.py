@@ -201,6 +201,39 @@ def groupmax_scores(
     return out.T  # back to (nq_pad, ngroups)
 
 
+SUPERGROUP = 8  # level-2 fan-in for hierarchical group selection
+
+
+def _top_groups(gmax: jax.Array, kg: int, ngroups: int) -> jax.Array:
+    """Top-kg group ids per row of (nq, ngroups) group-maxes.
+
+    For large ngroups this is hierarchical: the top-kg SUPERGROUP-blocks by
+    block-max provably contain the top-kg groups (same bound as phase 1),
+    and blocks/groups are id-contiguous so tie order still matches
+    lax.top_k. Cuts the big top_k from ngroups to ngroups/8 lanes.
+    """
+    nq = gmax.shape[0]
+    # Negative result (v5e, 1M rows / 8192 groups): the hierarchical path
+    # measured SLOWER than one lax.top_k over 8192 lanes (1.10 vs 0.95
+    # ms/batch end-to-end) — the block reduce + candidate gather outweigh
+    # the smaller sort. Kept for ngroups ≥ 64K (e.g. ≥8M rows per chip),
+    # where the single sort's n·log n growth flips the balance.
+    if ngroups < 65536 or ngroups % SUPERGROUP or kg * SUPERGROUP > ngroups:
+        _, gidx = jax.lax.top_k(gmax, kg)
+        return gidx
+    nblocks = ngroups // SUPERGROUP
+    bmax = jnp.max(gmax.reshape(nq, nblocks, SUPERGROUP), axis=-1)
+    _, bidx = jax.lax.top_k(bmax, kg)              # (nq, kg)
+    bidx = jnp.sort(bidx, axis=-1)                 # id-ascending candidates
+    offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, SUPERGROUP), 2)
+    cand_cols = (bidx[:, :, None] * SUPERGROUP + offs).reshape(
+        nq, kg * SUPERGROUP
+    )
+    cand = jnp.take_along_axis(gmax, cand_cols, axis=1)
+    _, pos = jax.lax.top_k(cand, kg)
+    return jnp.take_along_axis(cand_cols, pos, axis=1)
+
+
 def _rescore_kernel(gidx_ref, nt_ref, q0_ref, q1_ref, q2_ref, db_ref, vn_ref,
                     out_ref, *, kg, metric):
     """One (query, group) pair per grid step: the db block arrives via a
@@ -327,7 +360,7 @@ def fused_search(
 
     # phase 2 — top-(k+pad) groups, id-ascending for oracle tie order
     kg = min(k_eff + GROUP_PAD, ngroups)
-    _, gidx = jax.lax.top_k(gmax, kg)              # (nq_pad, kg)
+    gidx = _top_groups(gmax, kg, ngroups)
     gidx = jnp.sort(gidx, axis=-1)
 
     # phase 3 — gather candidate groups and rescore exactly w.r.t. the
