@@ -165,3 +165,18 @@ def test_fused_nq_multiblock():
     s -= np.asarray(norms, np.float64)[None, :]
     order = np.argsort(-s, axis=1, kind="stable")[:, :10]
     np.testing.assert_array_equal(np.asarray(ids), order)
+
+
+def test_top_groups_hierarchical_equivalence():
+    """_top_groups' hierarchical path (ngroups >= 64K) must equal plain
+    lax.top_k including tie order (ties injected via rounding)."""
+    from faiss_tpu.ops.pallas_fused import _top_groups
+
+    rng = np.random.default_rng(11)
+    ngroups = 1 << 16
+    gmax = np.round(rng.standard_normal((4, ngroups)).astype(np.float32), 2)
+    gj = jnp.asarray(gmax)
+    for kg in (1, 14, 100):
+        got = np.sort(np.asarray(_top_groups(gj, kg, ngroups)), axis=1)
+        _, want = jax.lax.top_k(gj, kg)
+        np.testing.assert_array_equal(got, np.sort(np.asarray(want), axis=1))
