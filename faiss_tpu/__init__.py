@@ -40,6 +40,8 @@ from .index import (
 )
 from .parallel.sharded import ShardedIndexFlat
 from .io import save_index, load_index
+from .multi import IndexShardsHost, merge_search_results
+from . import loader
 from . import native
 from . import utils
 
@@ -60,6 +62,9 @@ __all__ = [
     "index_numpy_to_tpu",
     "save_index",
     "load_index",
+    "IndexShardsHost",
+    "merge_search_results",
+    "loader",
     "native",
     "utils",
     "__version__",

@@ -267,3 +267,18 @@ def test_add_device_arrays():
     idx16.add(jnp.asarray(xb))
     D2, I2 = idx16.search(xq, 10)
     np.testing.assert_array_equal(I2[:, 0], Ir[:, 0])
+
+
+def test_concurrent_searches():
+    """Searches are thread-safe (the serving pattern bench.py relies on)."""
+    import concurrent.futures as cf
+
+    xb, xq = make_data(3000, 8, 64)
+    idx = build(xb)
+    D0, I0 = idx.search(xq, 10)
+    with cf.ThreadPoolExecutor(max_workers=8) as pool:
+        futs = [pool.submit(idx.search, xq, 10) for _ in range(32)]
+        for f in futs:
+            D, I = f.result()
+            np.testing.assert_array_equal(I, I0)
+            np.testing.assert_array_equal(D, D0)
