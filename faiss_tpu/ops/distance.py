@@ -52,24 +52,37 @@ def matmul_scores(
     via ``preferred_element_type`` (the MXU accumulates fp32 natively, like the
     reference's fp32 simdgroup accumulators, simdgroup_gemm.metal:45-55).
     """
+    dn = (((1,), (1,)), ((), ()))
     if db.dtype == jnp.float32:
-        q = queries
         # True fp32 quality: on TPU the default matmul precision is a single
         # bf16 MXU pass (~5e-3 rel err); HIGHEST runs the multi-pass fp32
         # algorithm. The reference's "fp32" GEMM is actually f16-multiply /
         # f32-accumulate (simdgroup_gemm.metal:26-138) — our *reduced* storage
         # path below is its true analog; fp32 storage here is strictly better.
-        precision = jax.lax.Precision.HIGHEST
+        dots = jax.lax.dot_general(
+            queries, db, dn,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    elif db.dtype == jnp.bfloat16 and queries.dtype == jnp.float32:
+        # bf16 storage: bf16×bf16 products are exact in fp32, so an EXACT
+        # 3-way query split makes scores fp32-true w.r.t. the stored
+        # (quantized) vectors — the plain path then agrees exactly with the
+        # fused path's rescore. ~free when bandwidth-bound (db read is the
+        # cost); 3× MXU only matters for very large nq.
+        from ..storage import split3_f32_bf16
+
+        dots = None
+        for q_part in split3_f32_bf16(queries):
+            d_part = jax.lax.dot_general(q_part, db, dn,
+                                         preferred_element_type=jnp.float32)
+            dots = d_part if dots is None else dots + d_part
     else:
-        q = queries.astype(db.dtype)
-        # bf16/f16 inputs: one MXU pass multiplies them exactly, fp32 accumulate.
-        precision = jax.lax.Precision.DEFAULT
-    dots = jax.lax.dot_general(
-        q, db,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
+        # f16 (and pre-cast bf16) inputs: one MXU pass, fp32 accumulate.
+        dots = jax.lax.dot_general(
+            queries.astype(db.dtype), db, dn,
+            preferred_element_type=jnp.float32,
+        )
     if metric is MetricType.INNER_PRODUCT:
         return dots
     # L2: score = −‖q−v‖² = 2·q·v − ‖q‖² − ‖v‖²  (norm epilogue fused by XLA;

@@ -180,3 +180,18 @@ def test_top_groups_hierarchical_equivalence():
         got = np.sort(np.asarray(_top_groups(gj, kg, ngroups)), axis=1)
         _, want = jax.lax.top_k(gj, kg)
         np.testing.assert_array_equal(got, np.sort(np.asarray(want), axis=1))
+
+
+def test_bf16_cross_path_exact():
+    """With the 3-way split everywhere, plain-XLA and fused bf16 paths are
+    BOTH fp32-true vs the stored vectors — their ids must agree exactly."""
+    from faiss_tpu import TpuIndexFlat
+
+    xb, xq = make_data(16384, 8, 64)
+    idx = TpuIndexFlat(64, storage="bf16")
+    idx.add(xb)
+    D1, I1 = idx.search(xq, 10)   # fused
+    idx.set_force_xla(True)
+    D2, I2 = idx.search(xq, 10)   # plain
+    np.testing.assert_array_equal(I1, I2)
+    np.testing.assert_allclose(D1, D2, rtol=1e-6, atol=1e-5)

@@ -156,3 +156,20 @@ def test_query_replicas(nreplicas):
 def test_query_replicas_validation():
     with pytest.raises(ValueError):
         ShardedIndexFlat(16, num_replicas=NDEV + 1, num_shards=2)
+
+
+def test_sharded_fused_bf16_path():
+    """bf16 per-shard fused path (incl. the scalar-prefetch Pallas rescore
+    kernel) inside shard_map must match the quantized-db oracle."""
+    from faiss_tpu.ops.pallas_fused import FUSED_MIN_NV
+
+    nv = NDEV * (FUSED_MIN_NV + 600)
+    xb, xq = make_data(nv, 4, 32)
+    idx = ShardedIndexFlat(32, storage="bf16")
+    idx.add(xb)
+    D, I = idx.search(xq, 10)
+    single = TpuIndexFlat(32, storage="bf16")
+    single.add(xb)
+    D1, I1 = single.search(xq, 10)
+    np.testing.assert_array_equal(I, I1)
+    np.testing.assert_allclose(D, D1, rtol=1e-5, atol=1e-5)
