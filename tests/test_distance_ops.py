@@ -110,3 +110,24 @@ def test_chunked_topk_exact():
         np.take_along_axis(scores, np.asarray(i), axis=1), np.asarray(v),
         rtol=1e-6,
     )
+
+
+def test_bf16_matmul_scores_fp32_true():
+    """bf16-db scores from matmul_scores must be fp32-exact w.r.t. the
+    quantized vectors (exact 3-way query split)."""
+    xb, xq = make_data(2048, 8, 96)
+    db16 = jnp.asarray(xb).astype(jnp.bfloat16)
+    norms = jnp.sum(db16.astype(jnp.float32) ** 2, -1)
+    s = distance.matmul_scores(jnp.asarray(xq), db16, norms, MetricType.L2)
+    dbq = np.asarray(db16.astype(jnp.float32), np.float64)
+    ref = 2 * (xq.astype(np.float64) @ dbq.T) - (dbq ** 2).sum(1)[None, :]
+    ref -= (xq.astype(np.float64) ** 2).sum(1)[:, None]
+    np.testing.assert_allclose(np.asarray(s), ref, rtol=1e-6, atol=1e-5)
+
+
+def test_profiler_trace_smoke(tmp_path):
+    """utils.trace context manager works (jax.profiler hook)."""
+    from faiss_tpu.utils import trace
+
+    with trace(str(tmp_path)):
+        _ = jnp.sum(jnp.ones((8, 8))).block_until_ready()
