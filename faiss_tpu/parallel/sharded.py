@@ -7,11 +7,13 @@ Architecture (SURVEY.md §5.8; BASELINE.json config 5):
     int64 at the host API boundary (TpuSearchToken.wait);
   * ``add`` splits each batch contiguously across shards (balanced to ±1
     row-block) and appends on each device — no host-side reshuffling;
-  * ``search`` is ONE jitted ``shard_map`` program over the 1-D mesh:
-    local distance GEMM + local exact top-k → gid gather →
-    ``jax.lax.all_gather`` of the (k dists, k gids) lists over ICI →
-    k-merge on every chip (replicated output). The merge is O(P·k), so
-    scaling with P is near-linear until nq·k·P rivals the local scan.
+  * ``search`` is ONE jitted ``shard_map`` program over a 2-D
+    ``(replicas, shards)`` mesh: local scan (fused Pallas kernel when
+    eligible) + local exact top-k → gid gather → ``jax.lax.all_gather`` of
+    the (k dists, k gids) lists over the shards axis (ICI) → k-merge. The
+    merge is O(P·k), so scaling with P is near-linear until nq·k·P rivals
+    the local scan. With ``num_replicas=R`` the query batch splits across
+    R replica groups for R× throughput at R× memory.
 
 Tested without real multi-chip hardware via XLA host-device emulation
 (``--xla_force_host_platform_device_count=8`` — tests/conftest.py), the same
