@@ -119,6 +119,7 @@ def _add_raw(idx, rows: np.ndarray, norms: np.ndarray) -> None:
             x = pad
         vecs = store._put(jnp.asarray(x))
         nj = store._put(jnp.asarray(norms, jnp.float32))
+        store._update_split(vecs, store.ntotal)  # fp32/f16: keep hi/lo pair
         store.db, store.norms = _append_jit(
             store.db, store.norms, vecs, nj, store.ntotal
         )

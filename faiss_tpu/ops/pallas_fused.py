@@ -140,9 +140,10 @@ def groupmax_scores(
     use_split = queries.dtype == jnp.float32
     if use_split and db_split is None:
         # direct callers without precomputed splits (tests): derive them here
+        # (f16→f32 decode is exact, so the pair reproduces stored values)
         from ..storage import split_f32_bf16
 
-        db_split = split_f32_bf16(db)
+        db_split = split_f32_bf16(db.astype(jnp.float32))
     vn = jax.lax.slice_in_dim(db_norms, 0, nv_eff, axis=0).reshape(1, nv_eff)
     nt = jnp.asarray(ntotal, jnp.int32).reshape(1, 1)
     itemsize = 4 if use_split else db.dtype.itemsize  # hi+lo = 4 bytes/elem
@@ -348,8 +349,10 @@ def fused_search(
     """
     nq_pad, d_pad = queries_f32.shape
     k_eff = min(k, nv_eff)
-    compute_dtype = db.dtype if db.dtype != jnp.float32 else jnp.float32
-    q_c = queries_f32.astype(compute_dtype)
+    # bf16 storage: one native MXU pass, q cast once. fp32/f16 storage:
+    # queries stay fp32 and the sweep runs on the bf16 (hi, lo) pair.
+    q_c = (queries_f32.astype(jnp.bfloat16)
+           if db.dtype == jnp.bfloat16 else queries_f32)
 
     # phase 1 — the Pallas sweep
     gmax = groupmax_scores(
@@ -418,13 +421,12 @@ def fused_path_eligible(*, metric: MetricType, k: int, nv_eff: int,
     cost is the candidate gather + rescore. Large-k passes for small query
     batches; large-d/small-nv shapes (where the gather rivals the sweep)
     route to the XLA paths."""
-    # Mosaic has no f16 MXU type ("Unsupported type in mosaic dialect: f16");
-    # f16 storage runs on the XLA paths (which upcast f16 fine).
-    if dtype is not None and jnp.dtype(dtype) == jnp.float16:
-        return False
-    # VMEM bound at the minimum block_v of 1024 rows: bf16 tiles up to
-    # d=2048 fit; fp32's double (hi, lo) tile pair needs d ≤ 1024.
-    d_cap = 1024 if itemsize == 4 else 2048
+    # fp32 and f16 storage sweep over the bf16 (hi, lo) pair (Mosaic has no
+    # f16 MXU type; fp32 needs multi-pass) — 4 sweep bytes/element and a
+    # d ≤ 1024 VMEM bound for the double tile. bf16 sweeps natively to 2048.
+    is_f16 = dtype is not None and jnp.dtype(dtype) == jnp.float16
+    pair_sweep = itemsize == 4 or is_f16
+    d_cap = 1024 if pair_sweep else 2048
     if nv_eff < FUSED_MIN_NV or d_pad > d_cap:
         return False
     ngroups = nv_eff // GROUP
@@ -436,4 +438,7 @@ def fused_path_eligible(*, metric: MetricType, k: int, nv_eff: int,
         PLAIN_SCORE_BYTES + PLAIN_TOPK_BYTES_PER_K16 * k / 16.0
     )
     fused_extra = 2.0 * gather_bytes + nq_pad * ngroups * 8.0
+    if is_f16:
+        # the pair doubles f16's sweep read vs the plain path's 2 B/element
+        fused_extra += nv_eff * d_pad * 2.0
     return fused_extra < plain_extra

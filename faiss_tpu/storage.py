@@ -166,7 +166,11 @@ class DeviceStore:
 
     @property
     def _has_split(self) -> bool:
-        return self.storage is StorageType.FLOAT32
+        # fp32: three bf16 passes ≈ fp32 ranking. f16: Mosaic has no f16 MXU
+        # type at all, and an f16 value (11 significand bits) splits EXACTLY
+        # into bf16 hi (8) + lo (≤ 8 remaining), so the same pair kernel
+        # serves both.
+        return self.storage in (StorageType.FLOAT32, StorageType.FLOAT16)
 
     def _alloc(self, capacity: int) -> None:
         self.db = self._put(jnp.zeros((capacity, self.d_pad), self.dtype))
@@ -196,11 +200,15 @@ class DeviceStore:
         out = jnp.zeros((new_cap,) + buf.shape[1:], buf.dtype)
         return jax.lax.dynamic_update_slice(out, buf, (0,) * buf.ndim)
 
-    def _update_split(self, vecs_f32: jax.Array, offset: int) -> None:
-        """Maintain the derived bf16 hi/lo pair for fp32 storage."""
+    def _update_split(self, vecs: jax.Array, offset: int) -> None:
+        """Maintain the derived bf16 hi/lo pair for fp32/f16 storage.
+
+        `vecs` are STORED-dtype rows; f16→f32 decode is exact and an f16
+        value splits exactly into the bf16 pair, so hi+lo reproduces the
+        stored value in both cases."""
         if not self._has_split:
             return
-        hi, lo = split_f32_bf16(vecs_f32)
+        hi, lo = split_f32_bf16(vecs.astype(jnp.float32))
         self.db_hi = _append1_jit(self.db_hi, hi, offset)
         self.db_lo = _append1_jit(self.db_lo, lo, offset)
 
@@ -245,8 +253,8 @@ class DeviceStore:
                 new_norms = jnp.zeros((n,), jnp.float32)
             if self.d_pad != self.d:
                 xd = jnp.pad(xd, ((0, 0), (0, self.d_pad - self.d)))
-            self._update_split(xd, self.ntotal)
             vecs = xd.astype(self.dtype)  # RNE, on device (no-op for f32)
+        self._update_split(vecs, self.ntotal)
         self.db, self.norms = _append_jit(
             self.db, self.norms, vecs, new_norms, self.ntotal
         )
@@ -267,9 +275,10 @@ class DeviceStore:
             new_norms = jnp.zeros((n,), jnp.float32)
         if self.d_pad != self.d:
             xd = jnp.pad(xd, ((0, 0), (0, self.d_pad - self.d)))
-        self._update_split(xd, self.ntotal)
+        vecs = xd.astype(self.dtype)
+        self._update_split(vecs, self.ntotal)
         self.db, self.norms = _append_jit(
-            self.db, self.norms, xd.astype(self.dtype), new_norms, self.ntotal
+            self.db, self.norms, vecs, new_norms, self.ntotal
         )
         self.ntotal += n
 

@@ -195,3 +195,28 @@ def test_bf16_cross_path_exact():
     D2, I2 = idx.search(xq, 10)   # plain
     np.testing.assert_array_equal(I1, I2)
     np.testing.assert_allclose(D1, D2, rtol=1e-6, atol=1e-5)
+
+
+def test_fused_f16_storage():
+    """f16 storage through the fused path: the bf16 (hi, lo) pair reproduces
+    f16 values exactly, so results are the exact top-k of the quantized db."""
+    from faiss_tpu import TpuIndexFlat
+    from faiss_tpu.storage import split_f32_bf16
+
+    xb, xq = make_data(16384, 8, 64)
+    # pair exactness: hi+lo == f16 value, bit for bit
+    h, lo = split_f32_bf16(jnp.asarray(xb.astype(np.float16)).astype(jnp.float32))
+    rec = np.asarray(h, np.float64) + np.asarray(lo, np.float64)
+    np.testing.assert_array_equal(rec.astype(np.float32),
+                                  xb.astype(np.float16).astype(np.float32))
+
+    idx = TpuIndexFlat(64, storage="f16")
+    idx.add(xb)
+    D, I = idx.search(xq, 10)
+    dbq = xb.astype(np.float16).astype(np.float64)
+    s = 2 * (xq.astype(np.float64) @ dbq.T) - (dbq ** 2).sum(1)[None, :]
+    order = np.argsort(-s, axis=1, kind="stable")[:, :10]
+    got = set(map(tuple, np.sort(np.asarray(I), 1)))
+    want = set(map(tuple, np.sort(order, 1)))
+    assert got == want
+    np.testing.assert_array_equal(np.asarray(I)[:, 0], order[:, 0])
