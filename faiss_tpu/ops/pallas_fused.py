@@ -382,9 +382,12 @@ def fused_search(
             metric=metric, nv_eff=nv_eff, interpret=interpret,
         )
     else:
-        # fp32 rows: gather contiguous group slices (reshaped one-row-per-
+        # fp32 rows: gather contiguous group slices (db reshaped one-row-per-
         # group: ~6× faster than a row-granular take) + HIGHEST XLA dot so
-        # ids match the plain fp32 path bit-for-bit.
+        # ids match the plain fp32 path bit-for-bit. (Negative result, v5e:
+        # a scalar-prefetch Pallas block-copy gather measured SLOWER —
+        # 1.64 vs 1.50 ms end-to-end — the extra buffer round trip outweighs
+        # the DMA win, unlike the bf16 case where rescoring happens in-kernel.)
         db_g = jax.lax.slice_in_dim(db, 0, nv_eff, axis=0).reshape(
             ngroups, GROUP * d_pad
         )
