@@ -220,3 +220,28 @@ def test_fused_f16_storage():
     want = set(map(tuple, np.sort(order, 1)))
     assert got == want
     np.testing.assert_array_equal(np.asarray(I)[:, 0], order[:, 0])
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+@pytest.mark.parametrize("storage", ["f32", "bf16", "f16"])
+def test_cross_path_all_configs(metric, storage):
+    """force_xla vs fused for every metric × storage (≈ the reference's
+    default-vs-forced-MPS parity tests for L2 AND IP,
+    test_metal_distance.mm:233-337). fp32/bf16 agree exactly; f16's plain
+    path is single-pass (score precision differs) so compare sets."""
+    from faiss_tpu import TpuIndexFlat
+
+    xb, xq = make_data(16384, 8, 64)
+    idx = TpuIndexFlat(64, metric=metric, storage=storage)
+    idx.add(xb)
+    D1, I1 = idx.search(xq, 10)
+    idx.set_force_xla(True)
+    D2, I2 = idx.search(xq, 10)
+    if storage in ("f32", "bf16"):
+        np.testing.assert_array_equal(I1, I2)
+        np.testing.assert_allclose(D1, D2, rtol=1e-6, atol=1e-5)
+    else:
+        got = set(map(tuple, np.sort(I1, 1)))
+        want = set(map(tuple, np.sort(I2, 1)))
+        assert len(got & want) == len(got)  # same sets
+        np.testing.assert_array_equal(I1[:, 0], I2[:, 0])
