@@ -304,7 +304,7 @@ class TpuIndexFlat:
         if use_fused and self.store.db_hi is not None:
             split = (self.store.db_hi, self.store.db_lo)
         dists, labels = fn(
-            self.store.db, self.store.norms, q, jnp.int32(self.ntotal),
+            self.store.db, self.store.norms, q, np.int32(self.ntotal),
             *split,
         )
         return (dists, labels), nq, nq_pad

@@ -17,7 +17,6 @@ import json
 from typing import Union
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .dtypes import MetricType, StorageType
@@ -110,20 +109,23 @@ def _add_raw(idx, rows: np.ndarray, norms: np.ndarray) -> None:
 
     n, d = rows.shape
 
-    def raw_into(store, rows, norms, gids=None, shard=None):
+    def raw_into(store, rows, norms):
+        old_cap = store.capacity
         store._ensure_capacity(store.ntotal + rows.shape[0])
         x = rows
         if store.d_pad != d:
             pad = np.zeros((rows.shape[0], store.d_pad), rows.dtype)
             pad[:, :d] = rows
             x = pad
-        vecs = store._put(jnp.asarray(x))
-        nj = store._put(jnp.asarray(norms, jnp.float32))
-        store._update_split(vecs, store.ntotal)  # fp32/f16: keep hi/lo pair
-        store.db, store.norms = _append_jit(
-            store.db, store.norms, vecs, nj, store.ntotal
-        )
+        with store._ctx():
+            vecs = store._put(np.ascontiguousarray(x))
+            nj = store._put(np.asarray(norms, np.float32))
+            store._update_split(vecs, store.ntotal)  # fp32/f16: keep hi/lo pair
+            store.db, store.norms = _append_jit(
+                store.db, store.norms, vecs, nj, store.ntotal
+            )
         store.ntotal += rows.shape[0]
+        return store.capacity != old_cap
 
     if isinstance(idx, ShardedIndexFlat):
         p = idx.num_shards
@@ -135,19 +137,8 @@ def _add_raw(idx, rows: np.ndarray, norms: np.ndarray) -> None:
                 continue
             gids = np.arange(off, off + c, dtype=np.int32)
             sh = idx.shards[i]
-            raw_into(sh.store, rows[off : off + c], norms[off : off + c])
-            # mirror _ShardStore.add's gid bookkeeping
-            if sh.gids is None or sh.gids.shape[0] < sh.store.capacity:
-                g = jnp.full((sh.store.capacity,), -1, jnp.int32)
-                if sh.gids is not None:
-                    g = jax.lax.dynamic_update_slice(g, sh.gids, (0,))
-                sh.gids = jax.device_put(g, sh.device)
-            sh.gids = jax.device_put(
-                jax.lax.dynamic_update_slice(
-                    sh.gids, jnp.asarray(gids), (sh.store.ntotal - c,)
-                ),
-                sh.device,
-            )
+            grew = raw_into(sh.store, rows[off : off + c], norms[off : off + c])
+            sh._append_gids(gids, sh.store.ntotal - c, grew=grew)
             off += c
         idx.ntotal = n
         idx._assembled = None

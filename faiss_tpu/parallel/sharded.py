@@ -159,17 +159,21 @@ class _ShardStore:
         old_cap = self.store.capacity
         off = self.store.ntotal
         self.store.add(x)
-        if self.store.capacity != old_cap or self.gids is None:
-            new_g = jnp.full((self.store.capacity,), -1, jnp.int32)
-            if self.gids is not None:
-                new_g = jax.lax.dynamic_update_slice(new_g, self.gids, (0,))
-            self.gids = jax.device_put(new_g, self.device)
-        self.gids = jax.device_put(
-            jax.lax.dynamic_update_slice(
+        self._append_gids(gids, off, grew=self.store.capacity != old_cap)
+
+    def _append_gids(self, gids: np.ndarray, off: int, grew: bool) -> None:
+        # All intermediates under default_device(shard device): an uncommitted
+        # jnp op must never dispatch to the process default backend (the
+        # driver's CPU-mesh dryrun runs under a registered TPU).
+        with jax.default_device(self.device):
+            if grew or self.gids is None:
+                new_g = jnp.full((self.store.capacity,), -1, jnp.int32)
+                if self.gids is not None:
+                    new_g = jax.lax.dynamic_update_slice(new_g, self.gids, (0,))
+                self.gids = new_g
+            self.gids = jax.lax.dynamic_update_slice(
                 self.gids, jnp.asarray(gids, jnp.int32), (off,)
-            ),
-            self.device,
-        )
+            )
 
     def reset(self):
         self.store.reset()
@@ -284,12 +288,16 @@ class ShardedIndexFlat:
         cap = max(s.store.capacity for s in self.shards)
         cap = max(cap, ROW_TILE)
         for s in self.shards:  # equalize capacities so the global array is regular
-            s.store._ensure_capacity(cap)
+            # exact=True: amortized doubling would overshoot cap and leave
+            # this shard's buffer larger than the others, making
+            # make_array_from_single_device_arrays reject the shard shapes
+            s.store._ensure_capacity(cap, exact=True)
             if s.gids is None or s.gids.shape[0] < cap:
-                g = jnp.full((cap,), -1, jnp.int32)
-                if s.gids is not None:
-                    g = jax.lax.dynamic_update_slice(g, s.gids, (0,))
-                s.gids = jax.device_put(g, s.device)
+                with jax.default_device(s.device):
+                    g = jnp.full((cap,), -1, jnp.int32)
+                    if s.gids is not None:
+                        g = jax.lax.dynamic_update_slice(g, s.gids, (0,))
+                    s.gids = g
         p = self.num_shards
         d_pad = self.shards[0].store.d_pad
         dev_grid = self.mesh.devices  # (R, P)
@@ -340,12 +348,16 @@ class ShardedIndexFlat:
         # rows must split evenly over replicas AND stay 8-aligned per replica
         unit = NQ_PAD * self.num_replicas
         nq_pad = max(unit, _round_up(nq, unit))
-        q = jnp.asarray(x)
-        if nq_pad != nq:
-            q = jnp.pad(q, ((0, nq_pad - nq), (0, 0)))
-        q = self.shards[0].store.pad_queries(q)
+        d_pad = self.shards[0].store.d_pad
+        if nq_pad != nq or d_pad != self.d:
+            # pad on the host: ONE committed transfer, no uncommitted
+            # intermediates on the default backend
+            qh = np.zeros((nq_pad, d_pad), np.float32)
+            qh[:nq, : self.d] = x
+        else:
+            qh = x
         q = jax.device_put(
-            q, NamedSharding(self.mesh, P(REPLICA_AXIS, None))
+            qh, NamedSharding(self.mesh, P(REPLICA_AXIS, None))
         )
         return q, nq, nq_pad
 

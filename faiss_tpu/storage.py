@@ -20,6 +20,7 @@ has no analog: jax.Arrays are HBM-resident by construction.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional
 
 import jax
@@ -164,6 +165,17 @@ class DeviceStore:
             return jax.device_put(x, self.device)
         return jax.device_put(x)
 
+    def _ctx(self):
+        """Creation context: every uncommitted intermediate (jnp.zeros,
+        eager converts, pads) lands on the pinned device, never on the
+        process default backend. Critical when the default backend is a
+        different accelerator than the mesh this store shards over (the
+        driver's multichip dryrun: CPU mesh under a registered TPU —
+        MULTICHIP_r01.json failed exactly here)."""
+        if self.device is not None:
+            return jax.default_device(self.device)
+        return contextlib.nullcontext()
+
     @property
     def _has_split(self) -> bool:
         # fp32: three bf16 passes ≈ fp32 ranking. f16: Mosaic has no f16 MXU
@@ -182,19 +194,26 @@ class DeviceStore:
                 jnp.zeros((capacity, self.d_pad), jnp.bfloat16))
         self.capacity = capacity
 
-    def _ensure_capacity(self, needed: int) -> None:
+    def _ensure_capacity(self, needed: int, exact: bool = False) -> None:
+        """Grow to hold `needed` rows. Default growth is amortized doubling;
+        ``exact=True`` grows to exactly round_up(needed, ROW_TILE) — used when
+        equalizing shard capacities (ShardedIndexFlat._assemble / io._add_raw),
+        where overshooting the target makes the global array irregular and
+        make_array_from_single_device_arrays rejects the shards."""
         if needed <= self.capacity:
             return
         new_cap = max(MIN_CAPACITY, _round_up(needed, ROW_TILE))
-        if self.capacity > 0:
-            new_cap = max(new_cap, 2 * self.capacity)  # amortized doubling
-            self.db, self.norms = _grow_jit(self.db, self.norms, new_cap)
-            if self._has_split:
-                self.db_hi = self._grow_one(self.db_hi, new_cap)
-                self.db_lo = self._grow_one(self.db_lo, new_cap)
-            self.capacity = new_cap
-        else:
-            self._alloc(new_cap)
+        with self._ctx():
+            if self.capacity > 0:
+                if not exact:
+                    new_cap = max(new_cap, 2 * self.capacity)  # amortized doubling
+                self.db, self.norms = _grow_jit(self.db, self.norms, new_cap)
+                if self._has_split:
+                    self.db_hi = self._grow_one(self.db_hi, new_cap)
+                    self.db_lo = self._grow_one(self.db_lo, new_cap)
+                self.capacity = new_cap
+            else:
+                self._alloc(new_cap)
 
     def _grow_one(self, buf: jax.Array, new_cap: int) -> jax.Array:
         out = jnp.zeros((new_cap,) + buf.shape[1:], buf.dtype)
@@ -241,23 +260,24 @@ class DeviceStore:
             # Shard across devices (ShardedIndexFlat) for larger totals.
             raise ValueError("index size would exceed 2^31-1 vectors (int32 ids)")
         self._ensure_capacity(self.ntotal + n)
-        if (self.storage is not StorageType.FLOAT32
-                and x.size >= NATIVE_CONVERT_MIN_ELEMS
-                and native.available()):
-            vecs, new_norms = self._convert_host(x)
-        else:
-            xd = self._put(jnp.asarray(x))
-            if self.metric is MetricType.L2:
-                new_norms = _norms_f32(xd)  # fp32, BEFORE quantization
+        with self._ctx():
+            if (self.storage is not StorageType.FLOAT32
+                    and x.size >= NATIVE_CONVERT_MIN_ELEMS
+                    and native.available()):
+                vecs, new_norms = self._convert_host(x)
             else:
-                new_norms = jnp.zeros((n,), jnp.float32)
-            if self.d_pad != self.d:
-                xd = jnp.pad(xd, ((0, 0), (0, self.d_pad - self.d)))
-            vecs = xd.astype(self.dtype)  # RNE, on device (no-op for f32)
-        self._update_split(vecs, self.ntotal)
-        self.db, self.norms = _append_jit(
-            self.db, self.norms, vecs, new_norms, self.ntotal
-        )
+                xd = self._put(x)
+                if self.metric is MetricType.L2:
+                    new_norms = _norms_f32(xd)  # fp32, BEFORE quantization
+                else:
+                    new_norms = jnp.zeros((n,), jnp.float32)
+                if self.d_pad != self.d:
+                    xd = jnp.pad(xd, ((0, 0), (0, self.d_pad - self.d)))
+                vecs = xd.astype(self.dtype)  # RNE, on device (no-op for f32)
+            self._update_split(vecs, self.ntotal)
+            self.db, self.norms = _append_jit(
+                self.db, self.norms, vecs, new_norms, self.ntotal
+            )
         self.ntotal += n
 
     def _add_device(self, xd: jax.Array) -> None:
@@ -268,18 +288,19 @@ class DeviceStore:
         if self.ntotal + n > np.iinfo(np.int32).max:
             raise ValueError("index size would exceed 2^31-1 vectors (int32 ids)")
         self._ensure_capacity(self.ntotal + n)
-        xd = self._put(xd)
-        if self.metric is MetricType.L2:
-            new_norms = _norms_f32(xd)
-        else:
-            new_norms = jnp.zeros((n,), jnp.float32)
-        if self.d_pad != self.d:
-            xd = jnp.pad(xd, ((0, 0), (0, self.d_pad - self.d)))
-        vecs = xd.astype(self.dtype)
-        self._update_split(vecs, self.ntotal)
-        self.db, self.norms = _append_jit(
-            self.db, self.norms, vecs, new_norms, self.ntotal
-        )
+        with self._ctx():
+            xd = self._put(xd)
+            if self.metric is MetricType.L2:
+                new_norms = _norms_f32(xd)
+            else:
+                new_norms = jnp.zeros((n,), jnp.float32)
+            if self.d_pad != self.d:
+                xd = jnp.pad(xd, ((0, 0), (0, self.d_pad - self.d)))
+            vecs = xd.astype(self.dtype)
+            self._update_split(vecs, self.ntotal)
+            self.db, self.norms = _append_jit(
+                self.db, self.norms, vecs, new_norms, self.ntotal
+            )
         self.ntotal += n
 
     def _convert_host(self, x: np.ndarray):

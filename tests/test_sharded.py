@@ -173,3 +173,23 @@ def test_sharded_fused_bf16_path():
     D1, I1 = single.search(xq, 10)
     np.testing.assert_array_equal(I, I1)
     np.testing.assert_allclose(D, D1, rtol=1e-5, atol=1e-5)
+
+
+def test_uneven_shard_capacities_regression():
+    """ADVICE r1 (high): _assemble's capacity equalization used doubling
+    growth and overshot the target — 2 shards, add(4097) made shard
+    capacities 3072/2048, the equalize grew shard 1 to 4096 instead of 3072,
+    and every search raised at make_array_from_single_device_arrays."""
+    rng = np.random.default_rng(11)
+    d = 32
+    xb = rng.standard_normal((4097, d), dtype=np.float32)
+    xq = rng.standard_normal((5, d), dtype=np.float32)
+    idx = ShardedIndexFlat(d, num_shards=2)
+    idx.add(xb)
+    caps = [s.store.capacity for s in idx.shards]
+    D, I = idx.search(xq, 10)  # raised ValueError before the fix
+    caps_after = [s.store.capacity for s in idx.shards]
+    assert len(set(caps_after)) == 1, caps_after
+    assert max(caps_after) == max(caps), (caps, caps_after)  # no overshoot
+    Dr, Ir = numpy_search(xb, xq, 10)
+    compare_results(D, I, Dr, Ir, dist_tol=1e-3, k=10, label="uneven caps")
