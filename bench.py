@@ -44,7 +44,7 @@ for storage in ("f32", "bf16"):   # one process = one device claim for both
     t0 = time.perf_counter(); idx.add(xb); add_s = time.perf_counter() - t0
     lat, pipe = measure_search(idx, xq, K)
     D_out, I_out = idx.search(xq, K)
-    recall = _oracle_recall(xb, xq, K, "l2", I_out, sample=16)
+    recall = _oracle_recall(xb, xq, K, "l2", I_out)  # ALL queries
     print("RESULT " + json.dumps({
         "storage": storage, "qps": NQ / (pipe / 1e3), "latency_ms": lat,
         "pipelined_ms": pipe, "recall": recall, "add_s": add_s,

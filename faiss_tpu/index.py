@@ -93,7 +93,9 @@ def _build_search_fn(
             # Pallas streaming kernel: group-max sweep + gather/rescore
             # (never materializes nq×nv — ops/pallas_fused.py). For fp32
             # storage `split` carries the precomputed bf16 (hi, lo) pair.
-            vals, ids = pallas_fused.fused_search(
+            # `cert` proves per-query exactness; uncertified queries are
+            # re-run on the plain path by TpuSearchToken.wait().
+            vals, ids, cert = pallas_fused.fused_search(
                 queries, db, norms, ntotal,
                 k=k, metric=metric, nv_eff=nv_eff, interpret=interpret,
                 db_split=split if split else None,
@@ -102,7 +104,7 @@ def _build_search_fn(
                 # kernel scores omit the rank-invariant −‖q‖² term; restore it
                 qn = jnp.sum(queries * queries, axis=-1, dtype=jnp.float32)
                 vals = vals - qn[:, None]
-            return _finalize(vals, ids, ntotal)
+            return _finalize(vals, ids, ntotal) + (cert,)
 
         def masked_block(start, width):
             """(nq_pad, width) scores for db rows [start, start+width),
@@ -132,7 +134,10 @@ def _build_search_fn(
         else:
             vals, ids = topk_ops.topk_scores(masked_block(0, nv_eff), k_eff)
 
-        return _finalize(vals, ids, ntotal)
+        # plain paths are exact by construction — certificate always true
+        return _finalize(vals, ids, ntotal) + (
+            jnp.ones((nq_pad,), jnp.bool_),
+        )
 
     return jax.jit(fn)
 
@@ -145,34 +150,55 @@ class TpuSearchToken:
     buffers (the reference's token owns its per-call MTLBuffers,
     src/MetalIndexFlat.mm:17-33). Multiple tokens may be in flight and waited
     in any order. `wait()` blocks and returns (D, I); `is_ready()` polls.
+
+    ``cert``/``fallback``: the fused path ships a per-query exactness
+    certificate with the results (ops/pallas_fused.fused_search). If any
+    query is uncertified (near-ties at the nomination boundary), ``wait()``
+    transparently re-runs the whole batch through the exact plain path via
+    ``fallback()`` — so the API contract is unconditionally exact search.
     """
 
-    def __init__(self, dists: jax.Array, labels: jax.Array, nq: int):
+    def __init__(self, dists: jax.Array, labels: jax.Array, nq: int,
+                 cert: Optional[jax.Array] = None, fallback=None):
         self._dists = dists
         self._labels = labels
+        self._cert = cert
+        self._fallback = fallback
         self._nq = nq
         self._result: Optional[Tuple[np.ndarray, np.ndarray]] = None
 
     def wait(self) -> Tuple[np.ndarray, np.ndarray]:
         if self._result is None:
-            # one device_get for both outputs: a transfer is a full host
+            # one device_get for all outputs: a transfer is a full host
             # round trip (25 ms through a tunneled device), so don't pay twice
-            d, i = jax.device_get((self._dists, self._labels))
-            d, i = np.asarray(d)[: self._nq], np.asarray(i)[: self._nq]
-            self._result = (
-                np.ascontiguousarray(d, dtype=np.float32),
-                np.ascontiguousarray(i, dtype=np.int64),
+            d, i, c = jax.device_get(
+                (self._dists, self._labels, self._cert)
             )
-            self._dists = self._labels = None  # release device buffers
+            if c is not None and not np.asarray(c).all() and self._fallback:
+                self._result = self._fallback()
+            else:
+                d, i = np.asarray(d)[: self._nq], np.asarray(i)[: self._nq]
+                self._result = (
+                    np.ascontiguousarray(d, dtype=np.float32),
+                    np.ascontiguousarray(i, dtype=np.int64),
+                )
+            self._dists = self._labels = self._cert = None  # release buffers
+            self._fallback = None
         return self._result
 
     def is_ready(self) -> bool:
         if self._result is not None:
             return True
         try:
-            return bool(self._dists.is_ready() and self._labels.is_ready())
-        except AttributeError:  # fallback for runtimes without is_ready()
-            return True
+            ready = self._dists.is_ready() and self._labels.is_ready()
+            if self._cert is not None:
+                ready = ready and self._cert.is_ready()
+            return bool(ready)
+        except AttributeError:
+            # unknown runtime: report NOT ready rather than lying (the
+            # reference polls real command-buffer status,
+            # MetalIndexFlat.mm:74-78); wait() always works regardless
+            return False
 
 
 class TpuIndexFlat:
@@ -184,15 +210,24 @@ class TpuIndexFlat:
         metric=MetricType.L2,
         storage=StorageType.FLOAT32,
         resources: Optional[TpuResources] = None,
+        tuning=None,
     ):
         self.metric = MetricType.coerce(metric)
         self.storage_type = StorageType.coerce(storage)
         self.res = resources if resources is not None else default_resources()
+        # per-index KernelTuning override (VERDICT r1: the per-generation
+        # table only has measured entries for v5e — users on other gens can
+        # supply their own instead of trusting estimates)
+        self.tuning = tuning if tuning is not None \
+            else self.res.capabilities.tuning
         self.store = DeviceStore(
             d, self.storage_type, self.metric, device=self.res.default_device
         )
         self.is_trained = True  # flat indexes need no training (faiss parity)
         self._force_xla = False
+        # observability: searches whose fused-path certificate failed and
+        # were transparently re-run on the exact plain path
+        self.fused_fallbacks = 0
 
     # -- faiss-style properties ------------------------------------------------
     @property
@@ -256,22 +291,20 @@ class TpuIndexFlat:
         i = np.full((nq, k), -1, np.int64)
         return d, i
 
-    def _search_device(self, x: np.ndarray, k: int):
-        """Enqueue the search; returns unrealized device arrays + nq."""
-        if k <= 0:
-            raise ValueError(f"k must be positive, got {k}")
-        q, nq, nq_pad = self._prep_queries(x)
-        if self.ntotal == 0:
-            return None, nq, nq_pad  # resolved on host, reference mm:328-334
+    def _run_search_fn(self, q, k: int, nq_pad: int, *, force_plain: bool):
+        """Build (cached) + enqueue one search program for the current shape.
+
+        Returns (dists, labels, cert) unrealized device arrays."""
         nv_eff = _round_up(self.ntotal, ROW_TILE)
-        tuning = self.res.capabilities.tuning
+        tuning = self.tuning
         use_direct = (
             self.metric is MetricType.L2
             and nv_eff <= dist_ops.DIRECT_PATH_MAX_NV * 4
             and nq_pad * nv_eff * self.store.d_pad <= DIRECT_PATH_MAX_ELEMS
         )
         use_fused = (
-            not self._force_xla
+            not force_plain
+            and not self._force_xla
             and not use_direct
             and pallas_fused.fused_path_eligible(
                 metric=self.metric, k=int(k), nv_eff=nv_eff,
@@ -284,7 +317,7 @@ class TpuIndexFlat:
         key = (
             "flat_search", nv_eff, self.store.d_pad, nq_pad, int(k),
             self.metric, self.storage_type, use_direct, use_fused,
-            tuning.chunk_v, self._force_xla,
+            tuning.chunk_v,
         )
         fn = self.res.cached(
             key,
@@ -303,11 +336,34 @@ class TpuIndexFlat:
         split = ()
         if use_fused and self.store.db_hi is not None:
             split = (self.store.db_hi, self.store.db_lo)
-        dists, labels = fn(
+        return fn(
             self.store.db, self.store.norms, q, np.int32(self.ntotal),
             *split,
-        )
-        return (dists, labels), nq, nq_pad
+        ) + (use_fused,)
+
+    def _search_device(self, x: np.ndarray, k: int):
+        """Enqueue the search; returns an unrealized token + nq."""
+        if k <= 0:
+            raise ValueError(f"k must be positive, got {k}")
+        q, nq, nq_pad = self._prep_queries(x)
+        if self.ntotal == 0:
+            return None, nq, nq_pad  # resolved on host, reference mm:328-334
+        dists, labels, cert, use_fused = self._run_search_fn(
+            q, k, nq_pad, force_plain=False)
+        fallback = None
+        if use_fused:
+            def fallback():
+                # certificate failed (near-ties at the nomination boundary):
+                # re-run the batch on the exact plain path, synchronously
+                self.fused_fallbacks += 1
+                d2, i2, _, _ = self._run_search_fn(
+                    q, k, nq_pad, force_plain=True)
+                d2, i2 = jax.device_get((d2, i2))
+                return (
+                    np.ascontiguousarray(np.asarray(d2)[:nq], np.float32),
+                    np.ascontiguousarray(np.asarray(i2)[:nq], np.int64),
+                )
+        return (dists, labels, cert, fallback), nq, nq_pad
 
     def search(self, x: np.ndarray, k: int,
                params=None) -> Tuple[np.ndarray, np.ndarray]:
@@ -315,19 +371,17 @@ class TpuIndexFlat:
         out, nq, _ = self._search_device(x, k)
         if out is None:
             return self._empty_result(nq, k)
-        return TpuSearchToken(out[0], out[1], nq).wait()
+        return TpuSearchToken(out[0], out[1], nq, out[2], out[3]).wait()
 
     def search_async(self, x: np.ndarray, k: int,
                      params=None) -> TpuSearchToken:
         """Non-blocking search (≈ searchAsync, MetalIndexFlat.mm:403-490)."""
         out, nq, _ = self._search_device(x, k)
         if out is None:
-            tok = TpuSearchToken.__new__(TpuSearchToken)
-            tok._dists = tok._labels = None
-            tok._nq = nq
+            tok = TpuSearchToken(None, None, nq)
             tok._result = self._empty_result(nq, k)
             return tok
-        return TpuSearchToken(out[0], out[1], nq)
+        return TpuSearchToken(out[0], out[1], nq, out[2], out[3])
 
     def describe(self) -> str:
         """Observability hook (≈ describeCapabilities +

@@ -16,27 +16,43 @@ Exact selection via *grouped* top-k (ops/grouped refactor of MetalSelect):
                          group-max array — all true top-k elements provably
                          live in the top-k groups (a group's max bounds every
                          member, so k better group-maxes ⇒ k better elements)
-  phase 3 (XLA)          gather those groups' db rows, rescore with the same
-                         GEMM precision, exact top-k over ≤ (k+pad)·G
-                         candidates per query
+  phase 3 (XLA/Pallas)   gather those groups' db rows, rescore fp32-true,
+                         exact top-k over ≤ (k+pad)·G candidates per query
 
-Tie-breaking matches ``lax.top_k``/the numpy oracle: groups are contiguous
-ascending-id column ranges and phase-2/3 use lax.top_k (lowest index wins),
-so ties resolve to the lowest global id. ``GROUP_PAD`` extra groups absorb
-float nondeterminism between the kernel dot and the rescore dot at the group
-boundary.
+EXACTNESS IS CERTIFIED, NOT ASSUMED. The sweep's nomination arithmetic
+differs from the rescore by a bounded amount (bf16 operand splits; fp32
+accumulation order), so ``fused_search`` also returns a per-query
+certificate: ``k-th rescored score ≥ (max group-max among NON-nominated
+groups) + ε`` where ε is a rigorous upper bound on |sweep − true| + |rescore
+− true| (derived below from the split residual norms). When the certificate
+holds, no true top-k element can hide in an un-nominated group and the
+result is provably the exact (quantized-db) top-k, ties resolved to lowest
+id. When it fails (near-ties at the nomination boundary — e.g. duplicated
+vectors), the caller falls back to the plain XLA path, which is exact by
+construction. GROUP_PAD extra groups keep the failure rate at measured-zero
+on non-adversarial data.
+
+Sweep arithmetic (all storage types nominate with fp32-grade precision):
+  * bf16 storage: two bf16 MXU passes q_hi·v + q_lo·v over the exact-bf16
+    query pair — only the query's double-truncation residual (≲2^-16‖q‖)
+    is dropped. The sweep is HBM-bound at these shapes, so the second MXU
+    pass is ~free.
+  * fp32/f16 storage: three bf16 passes over bit-mask (hi, lo) splits of
+    BOTH operands (storage.split_f32_bf16) — drops only lo_q·lo_v
+    (≲2^-14‖q‖‖v‖). NEVER use Precision.HIGHEST inside the kernel: the
+    remote Mosaic compiler takes 10+ minutes on it.
 
 Related work: this is an EXACT member of the two-stage top-k family
 ("A Faster Generalized Two-Stage Approximate Top-K", arXiv 2506.04165;
 TPU-KNN, arXiv 2206.14286 uses the hardware PartialReduce for the
-approximate version) — exactness comes from the group-max bound plus the
-full gather/rescore of the nominated groups, not from recall tuning.
+approximate version) — exactness comes from the group-max bound, the full
+gather/rescore of the nominated groups, and the runtime certificate.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,7 +62,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..dtypes import MetricType
 
 GROUP = 128           # columns per candidate group (= one lane row)
-GROUP_PAD = 4         # extra groups gathered beyond k (tie/epsilon safety)
+GROUP_PAD = 4         # extra groups gathered beyond k (certificate margin)
 NEG_INF = float("-inf")
 
 # fused-path eligibility (dispatch heuristics, named like the reference's
@@ -59,6 +75,12 @@ FUSED_GATHER_BUDGET = 1 << 30    # hard cap on phase-3 gather materialization
 # fused pays the gather twice (read rows + batched-dot re-read)).
 PLAIN_SCORE_BYTES = 8.0
 PLAIN_TOPK_BYTES_PER_K16 = 1.0  # + k/16 bytes/score for lax.top_k
+
+# Certificate error-bound constants (see module docstring / _sweep_eps):
+# bit-mask truncation to bf16 (8 significand bits) loses < 2^-7 relative;
+# the RNE-rounded lo term's own residual is < 2^-15 relative.
+_LO_REL = 2.0 ** -7
+_RESID_REL = 2.0 ** -15
 
 
 def _pick_block_v(d_pad: int, itemsize: int, nv: int) -> int:
@@ -86,24 +108,26 @@ def _epilogue(dots, vn_ref, nt_ref, out_ref, *, metric, block_v, nq_pad):
     out_ref[:] = gm.T
 
 
-def _kernel(q_ref, db_ref, vn_ref, nt_ref, out_ref, *, metric, block_v,
-            nq_pad):
-    """One nv tile, reduced-precision storage: one bf16 MXU pass."""
-    dots = jax.lax.dot_general(
-        q_ref[:], db_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    _epilogue(dots, vn_ref, nt_ref, out_ref, metric=metric,
+def _kernel_qpair(qh_ref, ql_ref, db_ref, vn_ref, nt_ref, out_ref, *,
+                  metric, block_v, nq_pad):
+    """One nv tile, bf16 storage: two bf16 MXU passes over the exact query
+    (hi, lo) pair — fp32-grade nomination (only the query's double-trunc
+    residual is dropped). The sweep is HBM-bound, so pass 2 is ~free."""
+    dn = (((1,), (1,)), ((), ()))
+    acc = jax.lax.dot_general(qh_ref[:], db_ref[:], dn,
+                              preferred_element_type=jnp.float32)
+    acc += jax.lax.dot_general(ql_ref[:], db_ref[:], dn,
+                               preferred_element_type=jnp.float32)
+    _epilogue(acc, vn_ref, nt_ref, out_ref, metric=metric,
               block_v=block_v, nq_pad=nq_pad)
 
 
 def _kernel_split(qh_ref, ql_ref, dh_ref, dl_ref, vn_ref, nt_ref, out_ref, *,
                   metric, block_v, nq_pad):
-    """One nv tile, fp32 storage: three bf16 MXU passes over the pre-split
-    (hi, lo) operands ≈ fp32-grade ranking (~4e-5 rel err; the lo·lo term is
-    dropped). The split MUST happen outside the kernel with the bit-mask
-    trick (storage.split_f32_bf16) — Mosaic's own f32/HIGHEST matmul takes
+    """One nv tile, fp32/f16 storage: three bf16 MXU passes over the
+    pre-split (hi, lo) operands ≈ fp32 ranking (only lo·lo dropped). The
+    split MUST happen outside the kernel with the bit-mask trick
+    (storage.split_f32_bf16) — Mosaic's own f32/HIGHEST matmul takes
     >10 minutes to compile through the remote compiler, and an arithmetic
     in-kernel split is both slow to compile and elided by XLA's
     excess-precision simplifier."""
@@ -123,30 +147,30 @@ def _kernel_split(qh_ref, ql_ref, dh_ref, dl_ref, vn_ref, nt_ref, out_ref, *,
     static_argnames=("metric", "nv_eff", "interpret"),
 )
 def groupmax_scores(
-    queries: jax.Array,        # (nq_pad, d_pad) compute dtype (bf16/f16/f32)
+    queries_f32: jax.Array,    # (nq_pad, d_pad) fp32
     db: jax.Array,             # (capacity, d_pad) storage dtype
-    db_norms: jax.Array,       # (capacity,) f32 (zeros for IP)
+    db_norms: jax.Array,       # (capacity,) f32 (‖v‖², all metrics)
     ntotal: jax.Array,         # () or (1,) int32
-    db_split=None,             # fp32 storage: (db_hi, db_lo) bf16 pair
+    db_split=None,             # fp32/f16 storage: (db_hi, db_lo) bf16 pair
     *,
     metric: MetricType,
     nv_eff: int,
     interpret: bool = False,
 ) -> jax.Array:
-    """(nq_pad, nv_eff/GROUP) per-group max of masked scores."""
-    nq_pad, d_pad = queries.shape
+    """(nq_pad, nv_eff/GROUP) per-group max of masked nomination scores."""
+    from ..storage import split_f32_bf16
+
+    nq_pad, d_pad = queries_f32.shape
     assert nq_pad % 8 == 0, nq_pad
     assert nv_eff % GROUP == 0, nv_eff
-    use_split = queries.dtype == jnp.float32
-    if use_split and db_split is None:
+    pair_sweep = db.dtype != jnp.bfloat16
+    if pair_sweep and db_split is None:
         # direct callers without precomputed splits (tests): derive them here
         # (f16→f32 decode is exact, so the pair reproduces stored values)
-        from ..storage import split_f32_bf16
-
         db_split = split_f32_bf16(db.astype(jnp.float32))
     vn = jax.lax.slice_in_dim(db_norms, 0, nv_eff, axis=0).reshape(1, nv_eff)
     nt = jnp.asarray(ntotal, jnp.int32).reshape(1, 1)
-    itemsize = 4 if use_split else db.dtype.itemsize  # hi+lo = 4 bytes/elem
+    itemsize = 4 if pair_sweep else 2  # hi+lo = 4 bytes/elem
     block_v = _pick_block_v(d_pad, itemsize, nv_eff)
     block_q = min(nq_pad, 128)
     grid = (pl.cdiv(nq_pad, block_q), nv_eff // block_v)
@@ -170,17 +194,15 @@ def groupmax_scores(
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * nq_pad * nv_eff * d_pad * (3 if use_split else 1),
+            flops=2 * nq_pad * nv_eff * d_pad * (3 if pair_sweep else 2),
             bytes_accessed=nv_eff * d_pad * itemsize
-            + nq_pad * d_pad * queries.dtype.itemsize
+            + nq_pad * d_pad * 4
             + nq_pad * (nv_eff // GROUP) * 4,
             transcendentals=0,
         ),
     )
-    if use_split:
-        from ..storage import split_f32_bf16
-
-        q_hi, q_lo = split_f32_bf16(queries)
+    q_hi, q_lo = split_f32_bf16(queries_f32)
+    if pair_sweep:
         dh = jax.lax.slice_in_dim(db_split[0], 0, nv_eff, axis=0)
         dl = jax.lax.slice_in_dim(db_split[1], 0, nv_eff, axis=0)
         kernel = functools.partial(
@@ -193,20 +215,26 @@ def groupmax_scores(
     else:
         dbs = jax.lax.slice_in_dim(db, 0, nv_eff, axis=0)
         kernel = functools.partial(
-            _kernel, metric=metric, block_v=block_v, nq_pad=block_q)
+            _kernel_qpair, metric=metric, block_v=block_v, nq_pad=block_q)
         out = pl.pallas_call(
             kernel,
-            in_specs=[q_spec, db_spec] + common_specs,
+            in_specs=[q_spec, q_spec, db_spec] + common_specs,
             **call_kw,
-        )(queries, dbs, vn, nt)
+        )(q_hi, q_lo, dbs, vn, nt)
     return out.T  # back to (nq_pad, ngroups)
 
 
 SUPERGROUP = 8  # level-2 fan-in for hierarchical group selection
 
 
-def _top_groups(gmax: jax.Array, kg: int, ngroups: int) -> jax.Array:
-    """Top-kg group ids per row of (nq, ngroups) group-maxes.
+def _top_groups(
+    gmax: jax.Array, kg: int, ngroups: int
+) -> Tuple[jax.Array, jax.Array]:
+    """(top-kg group ids, max gmax among NON-nominated groups) per query row.
+
+    The second output is the certificate threshold t: any element of an
+    un-nominated group scores ≤ t (+sweep error). −inf when every group is
+    nominated.
 
     For large ngroups this is hierarchical: the top-kg SUPERGROUP-blocks by
     block-max provably contain the top-kg groups (same bound as phase 1),
@@ -220,19 +248,27 @@ def _top_groups(gmax: jax.Array, kg: int, ngroups: int) -> jax.Array:
     # the smaller sort. Kept for ngroups ≥ 64K (e.g. ≥8M rows per chip),
     # where the single sort's n·log n growth flips the balance.
     if ngroups < 65536 or ngroups % SUPERGROUP or kg * SUPERGROUP > ngroups:
-        _, gidx = jax.lax.top_k(gmax, kg)
-        return gidx
+        if kg >= ngroups:
+            _, gidx = jax.lax.top_k(gmax, kg)
+            return gidx, jnp.full((nq,), NEG_INF, jnp.float32)
+        tv, gidx = jax.lax.top_k(gmax, kg + 1)
+        return gidx[:, :kg], tv[:, kg]
     nblocks = ngroups // SUPERGROUP
     bmax = jnp.max(gmax.reshape(nq, nblocks, SUPERGROUP), axis=-1)
-    _, bidx = jax.lax.top_k(bmax, kg)              # (nq, kg)
-    bidx = jnp.sort(bidx, axis=-1)                 # id-ascending candidates
+    tvb, bidx = jax.lax.top_k(bmax, min(kg + 1, nblocks))  # (nq, kg(+1))
+    bidx = jnp.sort(bidx[:, :kg], axis=-1)     # id-ascending candidates
     offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, SUPERGROUP), 2)
     cand_cols = (bidx[:, :, None] * SUPERGROUP + offs).reshape(
         nq, kg * SUPERGROUP
     )
     cand = jnp.take_along_axis(gmax, cand_cols, axis=1)
-    _, pos = jax.lax.top_k(cand, kg)
-    return jnp.take_along_axis(cand_cols, pos, axis=1)
+    tvc, pos = jax.lax.top_k(cand, kg + 1)     # kg·8 ≥ kg+1 always
+    gidx = jnp.take_along_axis(cand_cols, pos[:, :kg], axis=1)
+    # non-nominated = (candidates \ nominated) ∪ (groups of non-cand blocks)
+    t = tvc[:, kg]
+    if kg < nblocks:
+        t = jnp.maximum(t, tvb[:, kg])
+    return gidx, t
 
 
 def _rescore_kernel(gidx_ref, nt_ref, q0_ref, q1_ref, q2_ref, db_ref, vn_ref,
@@ -258,20 +294,20 @@ def _rescore_kernel(gidx_ref, nt_ref, q0_ref, q1_ref, q2_ref, db_ref, vn_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, (1, GROUP), 1) + g * GROUP
     s = jnp.where(col < nt_ref[0], s, NEG_INF)
     # Only row i%8 of the 8-row dot block scores THIS query's group (each
-    # query has its own candidate list). Mosaic requires 8-aligned sublane
-    # stores, so write the whole aligned stripe: the stripe's first visitor
-    # (i%8 == 0) initializes it, later visitors accumulate their masked row.
+    # query has its own candidate list). The out block is one 8-query
+    # stripe, revisited for kg·8 consecutive grid steps (same block index →
+    # stays in VMEM); the stripe's first visitor (i%8 == 0) initializes each
+    # column range, later visitors accumulate their masked row.
     rowsel = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == (i % 8)
     blk = jnp.where(rowsel, s, 0.0)
-    base = pl.multiple_of((i // 8) * 8, 8)
 
     @pl.when(i % 8 == 0)
     def _():
-        out_ref[pl.ds(base, 8), pl.ds(j * GROUP, GROUP)] = blk
+        out_ref[:, pl.ds(j * GROUP, GROUP)] = blk
 
     @pl.when(i % 8 != 0)
     def _():
-        out_ref[pl.ds(base, 8), pl.ds(j * GROUP, GROUP)] += blk
+        out_ref[:, pl.ds(j * GROUP, GROUP)] += blk
 
 
 def rescore_groups_pallas(
@@ -288,7 +324,10 @@ def rescore_groups_pallas(
     """(nq_pad, kg·GROUP) fp32-true scores for each query's candidate groups.
 
     Exactness: bf16×bf16 products are exact in fp32 and the query is split
-    3-way exactly (split3_f32_bf16), so scores match an fp32 rescore."""
+    3-way exactly (split3_f32_bf16), so scores match an fp32 rescore. VMEM
+    holds one 8-query output stripe (8·kg·GROUP·4 B), not the whole array —
+    ADVICE r1: the previous constant-index out_spec kept (nq_pad, kg·GROUP)
+    resident and could blow the VMEM budget at large nq·k."""
     from ..storage import split3_f32_bf16
 
     nq_pad, d_pad = queries_f32.shape
@@ -317,7 +356,7 @@ def rescore_groups_pallas(
             pl.BlockSpec((1, GROUP), vn_idx, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (nq_pad, kg * GROUP), lambda t, g, n: (0, 0),
+            (8, kg * GROUP), lambda t, g, n: ((t // kg) // 8, 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -330,46 +369,84 @@ def rescore_groups_pallas(
     )(gidx, jnp.asarray(ntotal, jnp.int32).reshape(1), q0, q1, q2, dbs, vn)
 
 
+def _sweep_eps(queries_f32: jax.Array, db_norms: jax.Array, nv_eff: int,
+               *, metric: MetricType, pair_sweep: bool, d_pad: int):
+    """Per-query rigorous upper bound ε on |nomination score − rescored
+    score| for ANY database row (module docstring "EXACTNESS IS CERTIFIED").
+
+    Derivation (dot = q·v; hats = the sweep's operand splits):
+      sweep dot error ≤ ‖q − q_hi − q_lo‖·max‖v‖          (query residual,
+                                                           computed exactly)
+                      + [pair] ‖q_lo‖·2^-7·max‖v‖          (dropped lo·lo;
+                                                           ‖v_lo‖ ≤ 2^-7‖v‖)
+                      + [pair] ‖q‖·2^-15·max‖v‖            (v-pair residual)
+      accumulation    + 8·d·2^-24·‖q‖·max‖v‖               (both sides' fp32
+                                                           sum reordering)
+    L2 scores are 2·dot − ‖v‖² with ‖v‖² bit-identical on both sides → ×2.
+    A final ×2 safety factor covers second-order cross terms.
+    """
+    from ..storage import split_f32_bf16
+
+    qh, ql = split_f32_bf16(queries_f32)
+    resid = queries_f32 - qh.astype(jnp.float32) - ql.astype(jnp.float32)
+    resid_norm = jnp.sqrt(jnp.sum(resid * resid, axis=-1))
+    lo32 = ql.astype(jnp.float32)
+    lo_norm = jnp.sqrt(jnp.sum(lo32 * lo32, axis=-1))
+    q_norm = jnp.sqrt(jnp.sum(queries_f32 * queries_f32, axis=-1))
+    # norms are ≥ 0 and padding rows are 0, so no validity mask is needed
+    vmax = jnp.sqrt(jnp.max(
+        jax.lax.slice_in_dim(db_norms, 0, nv_eff, axis=0)))
+    rel = (8.0 * d_pad) * 2.0 ** -24
+    eps = resid_norm + rel * q_norm
+    if pair_sweep:
+        eps = eps + _LO_REL * lo_norm + _RESID_REL * q_norm
+    eps = eps * vmax
+    if metric is MetricType.L2:
+        eps = 2.0 * eps
+    return 2.0 * eps  # safety factor
+
+
 def fused_search(
     queries_f32: jax.Array,    # (nq_pad, d_pad) fp32
     db: jax.Array,             # (capacity, d_pad) storage dtype
-    db_norms: jax.Array,       # (capacity,) f32
+    db_norms: jax.Array,       # (capacity,) f32 (‖v‖² for all metrics)
     ntotal: jax.Array,         # scalar int32 (traced)
     *,
     k: int,
     metric: MetricType,
     nv_eff: int,
     interpret: bool = False,
-    db_split=None,             # fp32 storage: (db_hi, db_lo) bf16 pair
-) -> Tuple[jax.Array, jax.Array]:
+    db_split=None,             # fp32/f16 storage: (db_hi, db_lo) bf16 pair
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Full fused path: kernel group-max → top groups → gather+rescore.
 
-    Returns (scores (nq_pad, k_eff) descending, ids (nq_pad, k_eff) int32,
-    −1-free; caller applies sentinel mapping). k_eff = min(k, nv_eff).
+    Returns (scores (nq_pad, k_eff) descending, ids (nq_pad, k_eff) int32
+    −1-free, certified (nq_pad,) bool). ``certified[i]`` proves query i's
+    result is the exact top-k of the stored (possibly quantized) database;
+    the caller MUST fall back to an exact path for uncertified queries
+    (index.py / sharded.py rerun the plain XLA path — the forceMPS-style
+    cross-path, MetalDistance.mm:121-123). k_eff = min(k, nv_eff).
     """
     nq_pad, d_pad = queries_f32.shape
     k_eff = min(k, nv_eff)
-    # bf16 storage: one native MXU pass, q cast once. fp32/f16 storage:
-    # queries stay fp32 and the sweep runs on the bf16 (hi, lo) pair.
-    q_c = (queries_f32.astype(jnp.bfloat16)
-           if db.dtype == jnp.bfloat16 else queries_f32)
+    pair_sweep = db.dtype != jnp.bfloat16
 
-    # phase 1 — the Pallas sweep
+    # phase 1 — the Pallas sweep (fp32-grade nomination for every storage)
     gmax = groupmax_scores(
-        q_c, db, db_norms, ntotal, db_split,
+        queries_f32, db, db_norms, ntotal, db_split,
         metric=metric, nv_eff=nv_eff, interpret=interpret,
     )
     ngroups = nv_eff // GROUP
 
-    # phase 2 — top-(k+pad) groups, id-ascending for oracle tie order
+    # phase 2 — top-(k+pad) groups, id-ascending for oracle tie order; t is
+    # the certificate threshold (max un-nominated group-max)
     kg = min(k_eff + GROUP_PAD, ngroups)
-    gidx = _top_groups(gmax, kg, ngroups)
+    gidx, t = _top_groups(gmax, kg, ngroups)
     gidx = jnp.sort(gidx, axis=-1)
 
     # phase 3 — gather candidate groups and rescore exactly w.r.t. the
     # *stored* (possibly quantized) vectors — strictly more accurate than
-    # the sweep, whose only job is nominating groups (GROUP_PAD absorbs its
-    # rounding at the selection boundary).
+    # the sweep, whose only job is nominating groups.
     offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, GROUP), 2)
     cols = (gidx[:, :, None] * GROUP + offs).reshape(nq_pad, kg * GROUP)
     if db.dtype == jnp.bfloat16:
@@ -410,7 +487,14 @@ def fused_search(
     s = jnp.where(cols < ntotal, s, NEG_INF)
     vals, pos = jax.lax.top_k(s, k_eff)
     ids = jnp.take_along_axis(cols, pos, axis=-1)
-    return vals, ids
+
+    # certificate: the k-th rescored score strictly dominates anything a
+    # non-nominated group could hold (its sweep max + ε) → provably exact.
+    # −inf threshold (all groups nominated / empty shard) certifies trivially.
+    eps = _sweep_eps(queries_f32, db_norms, nv_eff, metric=metric,
+                     pair_sweep=pair_sweep, d_pad=d_pad)
+    certified = (t == NEG_INF) | (vals[:, k_eff - 1] >= t + eps)
+    return vals, ids, certified
 
 
 def fused_path_eligible(*, metric: MetricType, k: int, nv_eff: int,
@@ -423,7 +507,8 @@ def fused_path_eligible(*, metric: MetricType, k: int, nv_eff: int,
     score matrix plus a k-scaled lax.top_k over it; the fused path's extra
     cost is the candidate gather + rescore. Large-k passes for small query
     batches; large-d/small-nv shapes (where the gather rivals the sweep)
-    route to the XLA paths."""
+    route to the XLA paths. VMEM never gates: the sweep tile is bounded by
+    _pick_block_v and the rescore holds one 8-query stripe (ADVICE r1)."""
     # fp32 and f16 storage sweep over the bf16 (hi, lo) pair (Mosaic has no
     # f16 MXU type; fp32 needs multi-pass) — 4 sweep bytes/element and a
     # d ≤ 1024 VMEM bound for the double tile. bf16 sweeps natively to 2048.

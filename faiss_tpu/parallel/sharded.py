@@ -66,7 +66,7 @@ def _build_sharded_search_fn(
         nt = ntotal_local[0]
 
         def local_fused():
-            vals, ids = pallas_fused.fused_search(
+            vals, ids, cert = pallas_fused.fused_search(
                 queries, db, norms, nt,
                 k=k_local, metric=metric, nv_eff=nv_eff, interpret=interpret,
                 db_split=split if split else None,
@@ -77,7 +77,7 @@ def _build_sharded_search_fn(
                 # but final distances need it)
                 qn = jnp.sum(queries * queries, axis=-1, dtype=jnp.float32)
                 vals = vals - qn[:, None]
-            return vals, ids
+            return vals, ids, cert
 
         def masked_block(start, width):
             dbs = jax.lax.dynamic_slice_in_dim(db, start, width, axis=0)
@@ -86,8 +86,9 @@ def _build_sharded_search_fn(
             col = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1) + start
             return jnp.where(col < nt, s, -jnp.inf)
 
+        cert = jnp.ones((nq_pad,), jnp.bool_)  # plain paths: exact always
         if use_fused:
-            vals, ids = local_fused()
+            vals, ids, cert = local_fused()
         elif nv_eff > chunk:
             nfull = nv_eff // chunk
             prefix = nfull * chunk
@@ -111,14 +112,23 @@ def _build_sharded_search_fn(
         g = jnp.where(valid, jnp.take(gids, safe, axis=0), jnp.int32(-1))
 
         # ICI merge: all_gather the tiny k-lists, every chip merges identically.
+        # the exact cross-shard result needs every LOCAL list exact: AND the
+        # per-shard certificates per query
+        cert = jnp.all(jax.lax.all_gather(cert, AXIS), axis=0)
         av = jax.lax.all_gather(vals, AXIS)   # (P, nq_pad, k_local)
         ag = jax.lax.all_gather(g, AXIS)
         P_ = av.shape[0]
         av = jnp.moveaxis(av, 0, 1).reshape(nq_pad, P_ * k_local)
         ag = jnp.moveaxis(ag, 0, 1).reshape(nq_pad, P_ * k_local)
         k_out = min(k, P_ * k_local)
-        top_vals, pos = jax.lax.top_k(av, k_out)
-        top_gids = jnp.take_along_axis(ag, pos, axis=-1)
+        # lexicographic (score desc, gid asc) merge: plain top_k resolves
+        # ties by list position = shard order, but gids do NOT follow shard
+        # order across add batches (the balanced split rotates its start),
+        # so equal scores must break by global id to match the oracle /
+        # single-device tie order. O(P·k) lanes — negligible.
+        order = jnp.lexsort((ag, -av), axis=-1)[..., :k_out]
+        top_vals = jnp.take_along_axis(av, order, axis=-1)
+        top_gids = jnp.take_along_axis(ag, order, axis=-1)
 
         ok = (top_gids >= 0) & (top_vals > -jnp.inf)
         dists = dist_ops.scores_to_distances(top_vals, metric)
@@ -129,7 +139,7 @@ def _build_sharded_search_fn(
             pad_i = jnp.full((nq_pad, k - k_out), -1, jnp.int32)
             dists = jnp.concatenate([dists, pad_d], axis=-1)
             top_gids = jnp.concatenate([top_gids, pad_i], axis=-1)
-        return dists, top_gids
+        return dists, top_gids, cert
 
     # db/norms/gids/ntotals (+ optional fp32 hi/lo pair): sharded over
     # `shards`, replicated over `replicas`; queries: split over `replicas`,
@@ -141,7 +151,7 @@ def _build_sharded_search_fn(
         per_device,
         mesh=mesh,
         in_specs=in_specs,
-        out_specs=(P(REPLICA_AXIS), P(REPLICA_AXIS)),
+        out_specs=(P(REPLICA_AXIS), P(REPLICA_AXIS), P(REPLICA_AXIS)),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -200,10 +210,13 @@ class ShardedIndexFlat:
         resources: Optional[TpuResources] = None,
         num_shards: Optional[int] = None,
         num_replicas: int = 1,
+        tuning=None,
     ):
         self.metric = MetricType.coerce(metric)
         self.storage_type = StorageType.coerce(storage)
         self.res = resources if resources is not None else default_resources()
+        self.tuning = tuning if tuning is not None \
+            else self.res.capabilities.tuning
         r = int(num_replicas)
         navail = len(self.res.devices)
         p = num_shards or navail // r
@@ -224,6 +237,13 @@ class ShardedIndexFlat:
         self._next_shard = 0  # round-robin start for balanced contiguous splits
         self._assembled = None  # cached (db, norms, gids, ntotals) global arrays
         self.is_trained = True
+        self._force_xla = False
+        self.fused_fallbacks = 0  # searches re-run after a failed certificate
+
+    def set_force_xla(self, force: bool) -> None:
+        """Force the plain-XLA local scan on every shard (≈ setForceMPS —
+        cross-path differential testing, MetalIndexFlat.h:106)."""
+        self._force_xla = bool(force)
 
     @property
     def num_shards(self) -> int:
@@ -361,23 +381,25 @@ class ShardedIndexFlat:
         )
         return q, nq, nq_pad
 
-    def _search_device(self, x: np.ndarray, k: int):
-        if k <= 0:
-            raise ValueError(f"k must be positive, got {k}")
-        q, nq, nq_pad = self._prep_queries(x)
-        if self.ntotal == 0:
-            return None, nq, nq_pad
+    def _run_search_fn(self, q, k: int, nq_pad: int, *, force_plain: bool):
+        """Build (cached) + enqueue one sharded program for the current shape.
+
+        Returns (dists, glabels, cert, use_fused)."""
         db, norms, gids, ntotals, cap, split = self._assemble()
         max_local = max(s.store.ntotal for s in self.shards)
         nv_eff = min(cap, _round_up(max(max_local, 1), ROW_TILE))
-        chunk = self.res.capabilities.tuning.chunk_v
+        chunk = self.tuning.chunk_v
         d_pad = self.shards[0].store.d_pad
         nq_local = nq_pad // self.num_replicas  # per replica group
-        use_fused = pallas_fused.fused_path_eligible(
-            metric=self.metric, k=int(k), nv_eff=nv_eff, d_pad=d_pad,
-            nq_pad=nq_local,
-            itemsize=jnp.dtype(self.shards[0].store.dtype).itemsize,
-            dtype=self.shards[0].store.dtype,
+        use_fused = (
+            not force_plain
+            and not self._force_xla
+            and pallas_fused.fused_path_eligible(
+                metric=self.metric, k=int(k), nv_eff=nv_eff, d_pad=d_pad,
+                nq_pad=nq_local,
+                itemsize=jnp.dtype(self.shards[0].store.dtype).itemsize,
+                dtype=self.shards[0].store.dtype,
+            )
         )
         interpret = not self.res.capabilities.is_tpu
         use_split = use_fused and bool(split)
@@ -393,8 +415,30 @@ class ShardedIndexFlat:
             ),
         )
         args = (db, norms, gids, ntotals, q) + (split if use_split else ())
-        dists, glabels = fn(*args)
-        return (dists, glabels), nq, nq_pad
+        return fn(*args) + (use_fused,)
+
+    def _search_device(self, x: np.ndarray, k: int):
+        if k <= 0:
+            raise ValueError(f"k must be positive, got {k}")
+        q, nq, nq_pad = self._prep_queries(x)
+        if self.ntotal == 0:
+            return None, nq, nq_pad
+        dists, glabels, cert, use_fused = self._run_search_fn(
+            q, k, nq_pad, force_plain=False)
+        fallback = None
+        if use_fused:
+            def fallback():
+                # a shard's certificate failed: re-run the batch with the
+                # exact plain local scan on every shard
+                self.fused_fallbacks += 1
+                d2, i2, _, _ = self._run_search_fn(
+                    q, k, nq_pad, force_plain=True)
+                d2, i2 = jax.device_get((d2, i2))
+                return (
+                    np.ascontiguousarray(np.asarray(d2)[:nq], np.float32),
+                    np.ascontiguousarray(np.asarray(i2)[:nq], np.int64),
+                )
+        return (dists, glabels, cert, fallback), nq, nq_pad
 
     def search(self, x: np.ndarray, k: int,
                params=None) -> Tuple[np.ndarray, np.ndarray]:
@@ -402,19 +446,17 @@ class ShardedIndexFlat:
         if out is None:
             d = np.full((nq, k), worst_distance(self.metric), np.float32)
             return d, np.full((nq, k), -1, np.int64)
-        return TpuSearchToken(out[0], out[1], nq).wait()
+        return TpuSearchToken(out[0], out[1], nq, out[2], out[3]).wait()
 
     def search_async(self, x: np.ndarray, k: int,
                      params=None) -> TpuSearchToken:
         out, nq, _ = self._search_device(x, k)
         if out is None:
-            tok = TpuSearchToken.__new__(TpuSearchToken)
-            tok._dists = tok._labels = None
-            tok._nq = nq
+            tok = TpuSearchToken(None, None, nq)
             d = np.full((nq, k), worst_distance(self.metric), np.float32)
             tok._result = (d, np.full((nq, k), -1, np.int64))
             return tok
-        return TpuSearchToken(out[0], out[1], nq)
+        return TpuSearchToken(out[0], out[1], nq, out[2], out[3])
 
     def describe(self) -> str:
         per = [s.store.ntotal for s in self.shards]

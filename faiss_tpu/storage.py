@@ -7,7 +7,9 @@
     ``dynamic_update_slice`` so XLA reuses the HBM allocation when it can;
   * vectors are stored in the chosen precision (f32/bf16/f16) while database
     L2 norms are computed in fp32 *before* quantization for accuracy
-    (reference mm:258-267, README.md:170) and only for METRIC_L2;
+    (reference mm:258-267, README.md:170); unlike the reference they are
+    kept for BOTH metrics — the fused path's exactness certificate bounds
+    its sweep error with max‖v‖ (ops/pallas_fused._sweep_eps);
   * dtype conversion is round-to-nearest-even on device (the reference does an
     RNE bit-trick on host CPU, mm:226-243; XLA's convert_element_type is RNE);
   * TPU layout: rows are padded to a row-tile multiple and the feature dim is
@@ -152,7 +154,7 @@ class DeviceStore:
         self.ntotal = 0
         self.capacity = 0
         self.db: Optional[jax.Array] = None       # (capacity, d_pad) self.dtype
-        self.norms: Optional[jax.Array] = None    # (capacity,) f32; zeros for IP
+        self.norms: Optional[jax.Array] = None    # (capacity,) f32 ‖v‖²
         # fp32 storage only: derived bf16 hi/lo pair for the fused sweep
         # (three bf16 MXU passes ≈ fp32 ranking; master fp32 db stays the
         # source of truth for rescore/reconstruct). +4 bytes/element.
@@ -267,10 +269,10 @@ class DeviceStore:
                 vecs, new_norms = self._convert_host(x)
             else:
                 xd = self._put(x)
-                if self.metric is MetricType.L2:
-                    new_norms = _norms_f32(xd)  # fp32, BEFORE quantization
-                else:
-                    new_norms = jnp.zeros((n,), jnp.float32)
+                # fp32, BEFORE quantization; computed for IP too — the fused
+                # path's exactness certificate needs max‖v‖ (pallas_fused.
+                # _sweep_eps), and IP scoring itself ignores them
+                new_norms = _norms_f32(xd)
                 if self.d_pad != self.d:
                     xd = jnp.pad(xd, ((0, 0), (0, self.d_pad - self.d)))
                 vecs = xd.astype(self.dtype)  # RNE, on device (no-op for f32)
@@ -290,10 +292,7 @@ class DeviceStore:
         self._ensure_capacity(self.ntotal + n)
         with self._ctx():
             xd = self._put(xd)
-            if self.metric is MetricType.L2:
-                new_norms = _norms_f32(xd)
-            else:
-                new_norms = jnp.zeros((n,), jnp.float32)
+            new_norms = _norms_f32(xd)  # all metrics — see add()
             if self.d_pad != self.d:
                 xd = jnp.pad(xd, ((0, 0), (0, self.d_pad - self.d)))
             vecs = xd.astype(self.dtype)
@@ -306,10 +305,7 @@ class DeviceStore:
     def _convert_host(self, x: np.ndarray):
         """Threaded host RNE conversion + fp32 norms (native C++ path):
         device_put moves 2 bytes/element instead of 4."""
-        if self.metric is MetricType.L2:
-            norms = native.l2_norms(x)
-        else:
-            norms = np.zeros(x.shape[0], np.float32)
+        norms = native.l2_norms(x)  # all metrics — see add()
         if self.d_pad != self.d:
             xp = np.zeros((x.shape[0], self.d_pad), np.float32)
             xp[:, : self.d] = x

@@ -14,7 +14,8 @@ import __graft_entry__ as ge
 
 def test_entry_compiles_and_runs():
     fn, args = ge.entry()
-    dists, labels = fn(*args)
+    dists, labels, cert = fn(*args)
+    assert np.asarray(cert).all()  # plain path: trivially certified
     dists, labels = np.asarray(dists), np.asarray(labels)
     assert dists.shape == (8, 10) and labels.shape == (8, 10)
     # self-consistency: labels are valid, distances ascending (L2)

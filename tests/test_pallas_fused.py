@@ -29,7 +29,7 @@ def test_fused_matches_plain(metric):
     xb, xq = make_data(16384, 16, 128)
     db, q = jnp.asarray(xb), jnp.asarray(xq)
     norms = _norms(db)
-    vals, ids = pallas_fused.fused_search(
+    vals, ids, cert = pallas_fused.fused_search(
         q, db, norms, jnp.int32(16384), k=10, metric=metric,
         nv_eff=16384, interpret=True,
     )
@@ -52,7 +52,7 @@ def test_fused_tie_breaking():
     db = jnp.asarray(xb)
     norms = _norms(db)
     q = jnp.asarray(rng.standard_normal((8, 64)).astype(np.float32))
-    vals, ids = pallas_fused.fused_search(
+    vals, ids, cert = pallas_fused.fused_search(
         q, db, norms, jnp.int32(xb.shape[0]), k=12, metric=MetricType.L2,
         nv_eff=xb.shape[0], interpret=True,
     )
@@ -67,7 +67,7 @@ def test_fused_ntotal_mask():
     db, q = jnp.asarray(xb), jnp.asarray(xq)
     norms = _norms(db)
     nt = 9000
-    vals, ids = pallas_fused.fused_search(
+    vals, ids, cert = pallas_fused.fused_search(
         q, db, norms, jnp.int32(nt), k=10, metric=MetricType.L2,
         nv_eff=16384, interpret=True,
     )
@@ -83,7 +83,7 @@ def test_fused_bf16_storage():
     db16 = jnp.asarray(xb).astype(jnp.bfloat16)
     norms = _norms(db16)  # norms of the QUANTIZED vectors for the oracle
     q = jnp.asarray(xq)
-    vals, ids = pallas_fused.fused_search(
+    vals, ids, cert = pallas_fused.fused_search(
         q, db16, norms, jnp.int32(16384), k=10, metric=MetricType.L2,
         nv_eff=16384, interpret=True,
     )
@@ -141,7 +141,7 @@ def test_fused_large_k():
     k = 512  # kg=516 of 256 groups → degenerates to gather-everything;
     # the production gate routes this shape to the chunked path, but the
     # algorithm itself must stay exact even in the degenerate regime
-    vals, ids = pallas_fused.fused_search(
+    vals, ids, cert = pallas_fused.fused_search(
         q, db, norms, jnp.int32(db.shape[0]), k=k, metric=MetricType.L2,
         nv_eff=db.shape[0], interpret=True,
     )
@@ -157,7 +157,7 @@ def test_fused_nq_multiblock():
     db = jnp.asarray(xb)
     norms = _norms(db)
     q = jnp.asarray(np.pad(xq, ((0, 8 - 200 % 8), (0, 0))))  # 208 rows
-    vals, ids = pallas_fused.fused_search(
+    vals, ids, cert = pallas_fused.fused_search(
         q, db, norms, jnp.int32(16384), k=10, metric=MetricType.L2,
         nv_eff=16384, interpret=True,
     )
@@ -177,9 +177,13 @@ def test_top_groups_hierarchical_equivalence():
     gmax = np.round(rng.standard_normal((4, ngroups)).astype(np.float32), 2)
     gj = jnp.asarray(gmax)
     for kg in (1, 14, 100):
-        got = np.sort(np.asarray(_top_groups(gj, kg, ngroups)), axis=1)
-        _, want = jax.lax.top_k(gj, kg)
-        np.testing.assert_array_equal(got, np.sort(np.asarray(want), axis=1))
+        gidx, t = _top_groups(gj, kg, ngroups)
+        got = np.sort(np.asarray(gidx), axis=1)
+        wv, want = jax.lax.top_k(gj, kg + 1)
+        np.testing.assert_array_equal(
+            got, np.sort(np.asarray(want)[:, :kg], axis=1))
+        # certificate threshold = max NON-nominated group-max = (kg+1)-th
+        np.testing.assert_array_equal(np.asarray(t), np.asarray(wv)[:, kg])
 
 
 def test_bf16_cross_path_exact():
@@ -245,3 +249,76 @@ def test_cross_path_all_configs(metric, storage):
         want = set(map(tuple, np.sort(I2, 1)))
         assert len(got & want) == len(got)  # same sets
         np.testing.assert_array_equal(I1[:, 0], I2[:, 0])
+
+
+def test_certificate_true_on_random_data():
+    """On generic data the margin between the k-th score and the first
+    un-nominated group-max dwarfs ε — the certificate must hold (no
+    fallback), or the fused path would silently lose its speed."""
+    for storage_dtype in (jnp.float32, jnp.bfloat16):
+        xb, xq = make_data(16384, 16, 128)
+        db = jnp.asarray(xb).astype(storage_dtype)
+        norms = jnp.sum(db.astype(jnp.float32) ** 2, axis=-1)
+        _, _, cert = pallas_fused.fused_search(
+            jnp.asarray(xq), db, norms, jnp.int32(16384), k=10,
+            metric=MetricType.L2, nv_eff=16384, interpret=True,
+        )
+        assert np.asarray(cert).all(), storage_dtype
+
+
+def test_certificate_fails_on_ties():
+    """All-identical rows: every score ties, so exactness cannot be certified
+    (k-th rescored == first un-nominated group-max < +ε margin)."""
+    rng = np.random.default_rng(7)
+    row = rng.standard_normal(128).astype(np.float32)
+    xb = np.tile(row, (8192, 1))
+    xq = rng.standard_normal((8, 128)).astype(np.float32)
+    db = jnp.asarray(xb)
+    norms = jnp.sum(db * db, axis=-1)
+    _, _, cert = pallas_fused.fused_search(
+        jnp.asarray(xq), db, norms, jnp.int32(8192), k=10,
+        metric=MetricType.L2, nv_eff=8192, interpret=True,
+    )
+    assert not np.asarray(cert).any()
+
+
+def test_fallback_on_uncertified(monkeypatch):
+    """Index-level contract: an uncertified fused search transparently
+    re-runs on the exact plain path — the user always gets the exact top-k
+    (lowest-id tie order), and the fallback counter records it."""
+    from faiss_tpu import TpuIndexFlat
+    from faiss_tpu.ops import pallas_fused as pf
+
+    monkeypatch.setattr(pf, "fused_path_eligible",
+                        lambda **kw: kw["nv_eff"] >= 8192)
+    rng = np.random.default_rng(9)
+    row = rng.standard_normal(64).astype(np.float32)
+    xb = np.tile(row, (9000, 1))  # every vector identical
+    xq = rng.standard_normal((4, 64)).astype(np.float32)
+    idx = TpuIndexFlat(64)
+    idx.add(xb)
+    D, I = idx.search(xq, 10)
+    assert idx.fused_fallbacks == 1
+    np.testing.assert_array_equal(I, np.tile(np.arange(10), (4, 1)))
+    # async path falls back inside wait() too
+    tok = idx.search_async(xq, 10)
+    D2, I2 = tok.wait()
+    assert idx.fused_fallbacks == 2
+    np.testing.assert_array_equal(I2, I)
+
+
+def test_no_fallback_on_random(monkeypatch):
+    from faiss_tpu import TpuIndexFlat
+    from faiss_tpu.ops import pallas_fused as pf
+
+    monkeypatch.setattr(pf, "fused_path_eligible",
+                        lambda **kw: kw["nv_eff"] >= 8192)
+    xb, xq = make_data(16384, 8, 64)
+    idx = TpuIndexFlat(64)
+    idx.add(xb)
+    D, I = idx.search(xq, 10)
+    assert idx.fused_fallbacks == 0
+    s = 2 * (xq.astype(np.float64) @ xb.astype(np.float64).T)
+    s -= (xb.astype(np.float64) ** 2).sum(1)[None, :]
+    order = np.argsort(-s, axis=1, kind="stable")[:, :10]
+    np.testing.assert_array_equal(np.asarray(I), order)

@@ -90,7 +90,7 @@ def test_fused_random_configs(seed):
         xb[nv // 2 :] = xb[: nv - nv // 2]      # ties
     db, q = jnp.asarray(xb), jnp.asarray(xq)
     norms = jnp.sum(db * db, axis=-1)
-    vals, ids = pallas_fused.fused_search(
+    vals, ids, cert = pallas_fused.fused_search(
         q, db, norms, jnp.int32(nv), k=k, metric=MetricType.L2,
         nv_eff=nv, interpret=True,
     )
@@ -103,3 +103,6 @@ def test_fused_random_configs(seed):
     sv = np.take_along_axis(s, order, 1)
     gv = np.take_along_axis(s, np.asarray(ids), 1)
     np.testing.assert_allclose(gv, sv, rtol=1e-5, atol=1e-5)
+    # certified queries must match the oracle EXACTLY (ids, not just values)
+    c = np.asarray(cert)
+    np.testing.assert_array_equal(np.asarray(ids)[c], order[c])

@@ -193,3 +193,61 @@ def test_uneven_shard_capacities_regression():
     assert max(caps_after) == max(caps), (caps, caps_after)  # no overshoot
     Dr, Ir = numpy_search(xb, xq, 10)
     compare_results(D, I, Dr, Ir, dist_tol=1e-3, k=10, label="uneven caps")
+
+
+def test_cross_shard_tie_order():
+    """Duplicate vectors spread across shards over MULTIPLE add batches (so
+    gid order diverges from shard order): merged ties must resolve to the
+    lowest GLOBAL id, matching the single-device index and the stable
+    oracle (VERDICT r1 weak #7)."""
+    rng = np.random.default_rng(21)
+    base = rng.standard_normal((64, 32)).astype(np.float32)
+    xb = np.tile(base, (8, 1))  # every vector appears 8×, ids 64 apart
+    idx = ShardedIndexFlat(32, num_shards=4)
+    for i in range(8):  # separate batches rotate the split start
+        idx.add(xb[i * 64 : (i + 1) * 64])
+    single = TpuIndexFlat(32)
+    single.add(xb)
+    xq = rng.standard_normal((6, 32)).astype(np.float32)
+    Ds, Is = idx.search(xq, 24)  # k > duplicate count → ties at many ranks
+    D1, I1 = single.search(xq, 24)
+    np.testing.assert_array_equal(Is, I1)
+    np.testing.assert_allclose(Ds, D1, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_force_xla_parity(monkeypatch):
+    """Fused vs plain local scan on the sharded path must agree exactly
+    (reference forced-MPS cross-path pattern) — forced via set_force_xla
+    rather than relying on the gate flipping naturally."""
+    from faiss_tpu.ops import pallas_fused as pf
+
+    monkeypatch.setattr(pf, "fused_path_eligible",
+                        lambda **kw: kw["nv_eff"] >= 1024)
+    xb, xq = make_data(9000, 8, 64)
+    idx = ShardedIndexFlat(64, num_shards=4)
+    idx.add(xb)
+    D1, I1 = idx.search(xq, 10)      # fused local scan (forced eligible)
+    idx.set_force_xla(True)
+    D2, I2 = idx.search(xq, 10)      # plain local scan
+    np.testing.assert_array_equal(I1, I2)
+    np.testing.assert_allclose(D1, D2, rtol=1e-5, atol=1e-4)
+    Dr, Ir = numpy_search(xb, xq, 10)
+    compare_results(D1, I1, Dr, Ir, dist_tol=1e-3, k=10, label="sharded xpath")
+
+
+def test_sharded_fallback_on_ties(monkeypatch):
+    """Uncertified fused shard results re-run on the plain path — sharded
+    ties still resolve exactly."""
+    from faiss_tpu.ops import pallas_fused as pf
+
+    monkeypatch.setattr(pf, "fused_path_eligible",
+                        lambda **kw: kw["nv_eff"] >= 1024)
+    rng = np.random.default_rng(23)
+    row = rng.standard_normal(32).astype(np.float32)
+    xb = np.tile(row, (8192, 1))
+    xq = rng.standard_normal((4, 32)).astype(np.float32)
+    idx = ShardedIndexFlat(32, num_shards=4)
+    idx.add(xb)
+    D, I = idx.search(xq, 8)
+    assert idx.fused_fallbacks == 1
+    np.testing.assert_array_equal(I, np.tile(np.arange(8), (4, 1)))
