@@ -65,12 +65,16 @@ def _build_search_fn(
     use_fused: bool,
     chunk: int,
     interpret: bool = False,
+    pair_only: bool = False,
 ):
     """Compile one search pipeline for a static (nv_eff, nq_pad, k) shape.
 
-    Returns fn(db, norms, queries, ntotal) -> (distances (nq_pad,k) f32,
-    labels (nq_pad,k) i32). `db` is (capacity, d_pad); only the first nv_eff
-    rows participate. Sentinels are applied on device.
+    Returns fn(db, norms, queries, ntotal, *split) -> (distances (nq_pad,k)
+    f32, labels (nq_pad,k) i32, certified (nq_pad,) bool). `db` is
+    (capacity, d_pad); only the first nv_eff rows participate. Sentinels are
+    applied on device. ``pair_only`` (storage.DeviceStore.pair_only): HBM
+    holds only the bf16 (hi, lo) pair — `db` is db_hi and `split` is
+    (db_hi, db_lo); every path scores against the pair-represented vectors.
     """
     k_eff = min(k, nv_eff)
 
@@ -98,7 +102,7 @@ def _build_search_fn(
             vals, ids, cert = pallas_fused.fused_search(
                 queries, db, norms, ntotal,
                 k=k, metric=metric, nv_eff=nv_eff, interpret=interpret,
-                db_split=split if split else None,
+                db_split=split if split else None, pair_only=pair_only,
             )
             if metric is MetricType.L2:
                 # kernel scores omit the rank-invariant −‖q‖² term; restore it
@@ -109,12 +113,22 @@ def _build_search_fn(
         def masked_block(start, width):
             """(nq_pad, width) scores for db rows [start, start+width),
             padding/invalid columns −inf. `start` may be traced."""
-            dbs = jax.lax.dynamic_slice_in_dim(db, start, width, axis=0)
-            if use_direct and metric is MetricType.L2:
-                s = dist_ops.direct_l2_scores(queries, dbs)
+            ns = jax.lax.dynamic_slice_in_dim(norms, start, width, axis=0)
+            if pair_only:
+                dh = jax.lax.dynamic_slice_in_dim(split[0], start, width, axis=0)
+                dl = jax.lax.dynamic_slice_in_dim(split[1], start, width, axis=0)
+                if use_direct and metric is MetricType.L2:
+                    s = dist_ops.direct_l2_scores(
+                        queries,
+                        dh.astype(jnp.float32) + dl.astype(jnp.float32))
+                else:
+                    s = dist_ops.pair_scores(queries, dh, dl, ns, metric)
             else:
-                ns = jax.lax.dynamic_slice_in_dim(norms, start, width, axis=0)
-                s = dist_ops.matmul_scores(queries, dbs, ns, metric)
+                dbs = jax.lax.dynamic_slice_in_dim(db, start, width, axis=0)
+                if use_direct and metric is MetricType.L2:
+                    s = dist_ops.direct_l2_scores(queries, dbs)
+                else:
+                    s = dist_ops.matmul_scores(queries, dbs, ns, metric)
             col = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1) + start
             return jnp.where(col < ntotal, s, -jnp.inf)
 
@@ -211,6 +225,7 @@ class TpuIndexFlat:
         storage=StorageType.FLOAT32,
         resources: Optional[TpuResources] = None,
         tuning=None,
+        keep_master: bool = True,
     ):
         self.metric = MetricType.coerce(metric)
         self.storage_type = StorageType.coerce(storage)
@@ -220,8 +235,13 @@ class TpuIndexFlat:
         # supply their own instead of trusting estimates)
         self.tuning = tuning if tuning is not None \
             else self.res.capabilities.tuning
+        # keep_master=False (fp32 only): HBM holds just the bf16 (hi, lo)
+        # pair (4 B/elem instead of 8); the exact fp32 master lives in host
+        # RAM for reconstruct/IO. Search ranks by the hi+lo value (~2^-16
+        # relative quantization). See storage.DeviceStore docs.
         self.store = DeviceStore(
-            d, self.storage_type, self.metric, device=self.res.default_device
+            d, self.storage_type, self.metric,
+            device=self.res.default_device, keep_master=keep_master,
         )
         self.is_trained = True  # flat indexes need no training (faiss parity)
         self._force_xla = False
@@ -314,10 +334,11 @@ class TpuIndexFlat:
             )
         )
         interpret = not self.res.capabilities.is_tpu
+        pair_only = self.store.pair_only
         key = (
             "flat_search", nv_eff, self.store.d_pad, nq_pad, int(k),
             self.metric, self.storage_type, use_direct, use_fused,
-            tuning.chunk_v,
+            tuning.chunk_v, pair_only,
         )
         fn = self.res.cached(
             key,
@@ -331,13 +352,15 @@ class TpuIndexFlat:
                 use_fused=use_fused,
                 chunk=tuning.chunk_v,
                 interpret=interpret,
+                pair_only=pair_only,
             ),
         )
         split = ()
-        if use_fused and self.store.db_hi is not None:
+        if self.store.db_hi is not None and (use_fused or pair_only):
             split = (self.store.db_hi, self.store.db_lo)
+        db_arg = self.store.db if self.store.db is not None else self.store.db_hi
         return fn(
-            self.store.db, self.store.norms, q, np.int32(self.ntotal),
+            db_arg, self.store.norms, q, np.int32(self.ntotal),
             *split,
         ) + (use_fused,)
 
@@ -386,11 +409,17 @@ class TpuIndexFlat:
     def describe(self) -> str:
         """Observability hook (≈ describeCapabilities +
         the index's own config; SURVEY.md §5.5)."""
+        hbm = self.store.hbm_bytes()
+        per = (hbm / (self.store.capacity * self.store.d_pad)
+               if self.store.capacity else 0.0)
         return (
             f"TpuIndexFlat(d={self.d}, metric={self.metric.value}, "
             f"storage={self.storage_type.value}, ntotal={self.ntotal}, "
             f"capacity={self.store.capacity}, d_pad={self.store.d_pad}, "
-            f"force_xla={self._force_xla})\n" + self.res.describe()
+            f"force_xla={self._force_xla}, fused_fallbacks="
+            f"{self.fused_fallbacks},\n"
+            f"  hbm={hbm / 1e6:.1f} MB ({per:.2f} B/elem, "
+            f"pair_only={self.store.pair_only}))\n" + self.res.describe()
         )
 
 

@@ -26,13 +26,25 @@ from .parallel.sharded import ShardedIndexFlat
 _FORMAT_VERSION = 1
 
 
-def _raw_bits(arr: jax.Array, d: int) -> np.ndarray:
-    """Storage rows as uint16/float32 bits, trimmed to (ntotal, d)."""
-    a = np.asarray(jax.device_get(arr))
-    if a.dtype == np.float32:
-        return a[:, :d]
-    # bf16/f16 → uint16 bit pattern (numpy has no bfloat16)
-    return a[:, :d].view(np.uint16)
+def _raw_bits(store, nt: int) -> np.ndarray:
+    """Exact storage bits of rows [0, nt) as float32 / uint16 patterns.
+
+    Pair-only HBM modes have no stored-dtype array; the decode is exact
+    (f16: hi+lo reproduces the value bit-for-bit; f32 keep_master=False:
+    the host master is the source of truth), so saved bits are identical
+    to what a master-keeping store would save."""
+    from .dtypes import StorageType
+
+    d = store.d
+    if store.db is not None:
+        a = np.asarray(jax.device_get(store.db))[:nt, :d]
+        if a.dtype == np.float32:
+            return a
+        return a.view(np.uint16)  # bf16/f16 bit pattern (numpy has no bf16)
+    rows = store._master_rows(0, nt)  # exact fp32 decode
+    if store.storage is StorageType.FLOAT32:
+        return rows
+    return rows.astype(np.float16).view(np.uint16)  # exact: value IS f16
 
 
 def save_index(index: Union[TpuIndexFlat, ShardedIndexFlat], path: str) -> None:
@@ -53,7 +65,7 @@ def save_index(index: Union[TpuIndexFlat, ShardedIndexFlat], path: str) -> None:
             nt = s.store.ntotal
             if nt == 0:
                 continue
-            parts.append(_raw_bits(s.store.db, index.d)[:nt])
+            parts.append(_raw_bits(s.store, nt))
             norms.append(np.asarray(jax.device_get(s.store.norms))[:nt])
             gids.append(np.asarray(jax.device_get(s.gids))[:nt])
         if parts:
@@ -66,7 +78,7 @@ def save_index(index: Union[TpuIndexFlat, ShardedIndexFlat], path: str) -> None:
     else:
         nt = index.ntotal
         if nt:
-            vec = _raw_bits(index.store.db, index.d)[:nt]
+            vec = _raw_bits(index.store, nt)
             nrm = np.asarray(jax.device_get(index.store.norms))[:nt]
         else:
             vec = np.zeros((0, index.d), np.float32)
@@ -74,9 +86,11 @@ def save_index(index: Union[TpuIndexFlat, ShardedIndexFlat], path: str) -> None:
     np.savez_compressed(path, meta=json.dumps(meta), vectors=vec, norms=nrm)
 
 
-def load_index(path: str, sharded: bool = False, resources=None):
+def load_index(path: str, sharded: bool = False, resources=None,
+               keep_master: bool = True):
     """Load an index saved by save_index. ``sharded=True`` redistributes the
-    vectors across the current mesh (ids preserved: insertion order)."""
+    vectors across the current mesh (ids preserved: insertion order).
+    ``keep_master=False`` loads fp32 data in pair-only HBM mode (4 B/elem)."""
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(str(z["meta"]))
         vec = z["vectors"]
@@ -86,7 +100,8 @@ def load_index(path: str, sharded: bool = False, resources=None):
     metric = MetricType.coerce(meta["metric"])
     storage = StorageType.coerce(meta["storage"])
     cls = ShardedIndexFlat if sharded else TpuIndexFlat
-    idx = cls(meta["d"], metric=metric, storage=storage, resources=resources)
+    idx = cls(meta["d"], metric=metric, storage=storage, resources=resources,
+              keep_master=keep_master)
     if meta["ntotal"] == 0:
         return idx
     if storage is StorageType.FLOAT32:
@@ -105,8 +120,6 @@ def load_index(path: str, sharded: bool = False, resources=None):
 
 def _add_raw(idx, rows: np.ndarray, norms: np.ndarray) -> None:
     """Append pre-quantized rows + their fp32 norms without conversion."""
-    from .storage import _append_jit
-
     n, d = rows.shape
 
     def raw_into(store, rows, norms):
@@ -120,10 +133,7 @@ def _add_raw(idx, rows: np.ndarray, norms: np.ndarray) -> None:
         with store._ctx():
             vecs = store._put(np.ascontiguousarray(x))
             nj = store._put(np.asarray(norms, np.float32))
-            store._update_split(vecs, store.ntotal)  # fp32/f16: keep hi/lo pair
-            store.db, store.norms = _append_jit(
-                store.db, store.norms, vecs, nj, store.ntotal
-            )
+            store._append(vecs, nj)  # pair-aware (storage modes)
         store.ntotal += rows.shape[0]
         return store.capacity != old_cap
 

@@ -93,6 +93,36 @@ def matmul_scores(
     return 2.0 * dots - q_norms[:, None] - db_norms[None, :]
 
 
+def pair_scores(
+    queries: jax.Array,           # (nq, d) fp32
+    db_hi: jax.Array,             # (nv, d) bf16 hi part
+    db_lo: jax.Array,             # (nv, d) bf16 lo part
+    db_norms: Optional[jax.Array],
+    metric: MetricType,
+) -> jax.Array:
+    """(nq, nv) scores for pair-only HBM storage (storage.DeviceStore
+    pair_only: f16 always, f32 with keep_master=False).
+
+    Four bf16 MXU passes (q_hi+q_lo)·(v_hi+v_lo): every product is exact in
+    fp32, the query pair split is exact to ~2^-16, so scores are fp32-true
+    w.r.t. the hi+lo-represented database — the same arithmetic class as the
+    fused path's rescore, without ever materializing fp32 rows."""
+    from ..storage import split_f32_bf16
+
+    qh, ql = split_f32_bf16(queries)
+    dn = (((1,), (1,)), ((), ()))
+    dots = None
+    for q_part in (qh, ql):
+        for d_part in (db_hi, db_lo):
+            d_ = jax.lax.dot_general(q_part, d_part, dn,
+                                     preferred_element_type=jnp.float32)
+            dots = d_ if dots is None else dots + d_
+    if metric is MetricType.INNER_PRODUCT:
+        return dots
+    q_norms = l2norm.l2_norm_squared(queries)
+    return 2.0 * dots - q_norms[:, None] - db_norms[None, :]
+
+
 def direct_l2_scores(queries: jax.Array, db: jax.Array) -> jax.Array:
     """Exact per-pair −‖q−v‖², materializing (nq, nv, d) differences.
 

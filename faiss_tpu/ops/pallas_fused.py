@@ -94,8 +94,16 @@ def _pick_block_v(d_pad: int, itemsize: int, nv: int) -> int:
     return 1024  # fused_path_eligible bounds d_pad so this still fits VMEM
 
 
-def _epilogue(dots, vn_ref, nt_ref, out_ref, *, metric, block_v, nq_pad):
-    """Shared mask + group-max epilogue (VPU)."""
+def _epilogue(dots, vn_ref, nt_ref, out_ref, *, metric, block_v, nq_pad,
+              direct=False):
+    """Shared mask + group-max epilogue (VPU).
+
+    ``direct=False``: out block is (ngroups_blk, nq) — lane-legal for any
+    nq_pad but costs a big XLA transpose downstream. ``direct=True``: out
+    block is (nq, ngroups_blk) written as-is — only legal when ngroups_blk
+    is a lane multiple (block_v = 16384 → 128 groups), measured 878 GB/s vs
+    610 for the transposed layout at 1M×128 bf16 AND it feeds phase 2's
+    row-major top_k for free (the transpose cost ~0.3 ms)."""
     j = pl.program_id(1)
     if metric is MetricType.L2:
         s = 2.0 * dots - vn_ref[0, :][None, :]
@@ -104,12 +112,11 @@ def _epilogue(dots, vn_ref, nt_ref, out_ref, *, metric, block_v, nq_pad):
     col = jax.lax.broadcasted_iota(jnp.int32, (1, block_v), 1) + j * block_v
     s = jnp.where(col < nt_ref[0, 0], s, NEG_INF)
     gm = jnp.max(s.reshape(nq_pad, block_v // GROUP, GROUP), axis=-1)
-    # output is (ngroups, nq) so every block is lane-legal for any nq_pad
-    out_ref[:] = gm.T
+    out_ref[:] = gm if direct else gm.T
 
 
 def _kernel_qpair(qh_ref, ql_ref, db_ref, vn_ref, nt_ref, out_ref, *,
-                  metric, block_v, nq_pad):
+                  metric, block_v, nq_pad, direct=False):
     """One nv tile, bf16 storage: two bf16 MXU passes over the exact query
     (hi, lo) pair — fp32-grade nomination (only the query's double-trunc
     residual is dropped). The sweep is HBM-bound, so pass 2 is ~free."""
@@ -119,11 +126,11 @@ def _kernel_qpair(qh_ref, ql_ref, db_ref, vn_ref, nt_ref, out_ref, *,
     acc += jax.lax.dot_general(ql_ref[:], db_ref[:], dn,
                                preferred_element_type=jnp.float32)
     _epilogue(acc, vn_ref, nt_ref, out_ref, metric=metric,
-              block_v=block_v, nq_pad=nq_pad)
+              block_v=block_v, nq_pad=nq_pad, direct=direct)
 
 
 def _kernel_split(qh_ref, ql_ref, dh_ref, dl_ref, vn_ref, nt_ref, out_ref, *,
-                  metric, block_v, nq_pad):
+                  metric, block_v, nq_pad, direct=False):
     """One nv tile, fp32/f16 storage: three bf16 MXU passes over the
     pre-split (hi, lo) operands ≈ fp32 ranking (only lo·lo dropped). The
     split MUST happen outside the kernel with the bit-mask trick
@@ -139,7 +146,63 @@ def _kernel_split(qh_ref, ql_ref, dh_ref, dl_ref, vn_ref, nt_ref, out_ref, *,
     acc += jax.lax.dot_general(ql_ref[:], dh_ref[:], dn,
                                preferred_element_type=jnp.float32)
     _epilogue(acc, vn_ref, nt_ref, out_ref, metric=metric,
-              block_v=block_v, nq_pad=nq_pad)
+              block_v=block_v, nq_pad=nq_pad, direct=direct)
+
+
+# Direct-layout sweep tile: 16384 rows → 128 groups per out block (one full
+# lane row). Measured 878 GB/s vs 610 transposed at 1M×128 bf16, and it
+# eliminates the ~0.3 ms (ngroups, nq)→(nq, ngroups) XLA transpose before
+# phase 2. Pair operands at this tile (2×4 MB double-buffered) fail Mosaic
+# compilation, so only the single-db bf16 path uses it; d_pad is capped so
+# the tile stays ≤ 4 MB.
+DIRECT_BV = 16384
+
+
+def _sweep_call(kernel, db_args, q_hi, q_lo, vn, nt, *, nv, d_pad, block_v,
+                nq_pad, metric, direct, interpret, passes, row_offset=0):
+    """One sweep pallas_call over rows [row_offset, row_offset+nv) of the
+    FULL db operand(s). The offset rides the block index map — slicing the
+    db to the covered range would make XLA materialize a copy of the whole
+    database (measured: a 256 MB slice copy tripled the sweep time)."""
+    assert row_offset % block_v == 0, (row_offset, block_v)
+    j0 = row_offset // block_v
+    block_q = min(nq_pad, 128)
+    grid = (pl.cdiv(nq_pad, block_q), nv // block_v)
+    ngroups_blk = block_v // GROUP
+    q_spec = pl.BlockSpec((block_q, d_pad), lambda i, j: (i, 0),
+                          memory_space=pltpu.VMEM)
+    db_spec = pl.BlockSpec((block_v, d_pad), lambda i, j: (j0 + j, 0),
+                           memory_space=pltpu.VMEM)
+    common = [
+        pl.BlockSpec((1, block_v), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    if direct:
+        out_spec = pl.BlockSpec((block_q, ngroups_blk), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((nq_pad, nv // GROUP), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((ngroups_blk, block_q), lambda i, j: (j, i),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((nv // GROUP, nq_pad), jnp.float32)
+    itemsize = 2 * len(db_args)
+    out = pl.pallas_call(
+        functools.partial(kernel, metric=metric, block_v=block_v,
+                          nq_pad=block_q, direct=direct),
+        grid=grid,
+        in_specs=[q_spec, q_spec] + [db_spec] * len(db_args) + common,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nq_pad * nv * d_pad * passes,
+            bytes_accessed=nv * d_pad * itemsize + nq_pad * d_pad * 4
+            + nq_pad * (nv // GROUP) * 4,
+            transcendentals=0,
+        ),
+    )(q_hi, q_lo, *db_args, vn, nt)
+    return out if direct else out.T
 
 
 @functools.partial(
@@ -163,65 +226,47 @@ def groupmax_scores(
     nq_pad, d_pad = queries_f32.shape
     assert nq_pad % 8 == 0, nq_pad
     assert nv_eff % GROUP == 0, nv_eff
-    pair_sweep = db.dtype != jnp.bfloat16
+    # pair sweep whenever a split is supplied (fp32/f16 storage AND
+    # pair-only HBM modes, where `db` is db_hi) or the dtype demands one
+    pair_sweep = db_split is not None or db.dtype != jnp.bfloat16
     if pair_sweep and db_split is None:
         # direct callers without precomputed splits (tests): derive them here
         # (f16→f32 decode is exact, so the pair reproduces stored values)
         db_split = split_f32_bf16(db.astype(jnp.float32))
-    vn = jax.lax.slice_in_dim(db_norms, 0, nv_eff, axis=0).reshape(1, nv_eff)
     nt = jnp.asarray(ntotal, jnp.int32).reshape(1, 1)
-    itemsize = 4 if pair_sweep else 2  # hi+lo = 4 bytes/elem
-    block_v = _pick_block_v(d_pad, itemsize, nv_eff)
-    block_q = min(nq_pad, 128)
-    grid = (pl.cdiv(nq_pad, block_q), nv_eff // block_v)
-    ngroups_blk = block_v // GROUP
-
-    q_spec = pl.BlockSpec((block_q, d_pad), lambda i, j: (i, 0),
-                          memory_space=pltpu.VMEM)
-    db_spec = pl.BlockSpec((block_v, d_pad), lambda i, j: (j, 0),
-                           memory_space=pltpu.VMEM)
-    common_specs = [
-        pl.BlockSpec((1, block_v), lambda i, j: (0, j),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-    ]
-    call_kw = dict(
-        grid=grid,
-        out_specs=pl.BlockSpec((ngroups_blk, block_q), lambda i, j: (j, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (nv_eff // GROUP, nq_pad), jnp.float32
-        ),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * nq_pad * nv_eff * d_pad * (3 if pair_sweep else 2),
-            bytes_accessed=nv_eff * d_pad * itemsize
-            + nq_pad * d_pad * 4
-            + nq_pad * (nv_eff // GROUP) * 4,
-            transcendentals=0,
-        ),
-    )
     q_hi, q_lo = split_f32_bf16(queries_f32)
+
+    def vn_of(start, nv):
+        v = jax.lax.slice_in_dim(db_norms, start, start + nv, axis=0)
+        return v.reshape(1, nv)
+
     if pair_sweep:
-        dh = jax.lax.slice_in_dim(db_split[0], 0, nv_eff, axis=0)
-        dl = jax.lax.slice_in_dim(db_split[1], 0, nv_eff, axis=0)
-        kernel = functools.partial(
-            _kernel_split, metric=metric, block_v=block_v, nq_pad=block_q)
-        out = pl.pallas_call(
-            kernel,
-            in_specs=[q_spec, q_spec, db_spec, db_spec] + common_specs,
-            **call_kw,
-        )(q_hi, q_lo, dh, dl, vn, nt)
-    else:
-        dbs = jax.lax.slice_in_dim(db, 0, nv_eff, axis=0)
-        kernel = functools.partial(
-            _kernel_qpair, metric=metric, block_v=block_v, nq_pad=block_q)
-        out = pl.pallas_call(
-            kernel,
-            in_specs=[q_spec, q_spec, db_spec] + common_specs,
-            **call_kw,
-        )(q_hi, q_lo, dbs, vn, nt)
-    return out.T  # back to (nq_pad, ngroups)
+        block_v = _pick_block_v(d_pad, 4, nv_eff)
+        return _sweep_call(
+            _kernel_split, (db_split[0], db_split[1]), q_hi, q_lo,
+            vn_of(0, nv_eff), nt,
+            nv=nv_eff, d_pad=d_pad, block_v=block_v, nq_pad=nq_pad,
+            metric=metric, direct=False, interpret=interpret, passes=3)
+
+    # bf16 native: direct-layout 16384-row tiles over the aligned prefix,
+    # transposed-layout tail for the 1024-aligned remainder. The db is
+    # passed WHOLE both times (offset index maps, no slice copies).
+    main = (nv_eff // DIRECT_BV) * DIRECT_BV if d_pad <= 128 else 0
+    parts = []
+    if main:
+        parts.append(_sweep_call(
+            _kernel_qpair, (db,), q_hi, q_lo, vn_of(0, main), nt,
+            nv=main, d_pad=d_pad, block_v=DIRECT_BV, nq_pad=nq_pad,
+            metric=metric, direct=True, interpret=interpret, passes=2))
+    tail = nv_eff - main
+    if tail:
+        nt_tail = nt - main  # mask columns are tail-relative
+        parts.append(_sweep_call(
+            _kernel_qpair, (db,), q_hi, q_lo, vn_of(main, tail), nt_tail,
+            nv=tail, d_pad=d_pad, block_v=_pick_block_v(d_pad, 2, tail),
+            nq_pad=nq_pad, metric=metric, direct=False, interpret=interpret,
+            passes=2, row_offset=main))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
 
 
 SUPERGROUP = 8  # level-2 fan-in for hierarchical group selection
@@ -271,43 +316,53 @@ def _top_groups(
     return gidx, t
 
 
-def _rescore_kernel(gidx_ref, nt_ref, q0_ref, q1_ref, q2_ref, db_ref, vn_ref,
-                    out_ref, *, kg, metric):
-    """One (query, group) pair per grid step: the db block arrives via a
-    scalar-prefetched index map (a hardware-pipelined gather of contiguous
-    32 KB group blocks), rescored with three exact-product bf16 dots."""
+RESCORE_GPJ = 2  # candidate groups per grid step (2 measured 2.4× faster
+#                  than 1 on v5e — two in-flight 32 KB gather DMAs per step
+#                  amortize the per-step fixed cost; 4 measured slower)
+
+
+def _rescore_kernel(gidx_ref, nt_ref, q0_ref, q1_ref, q2_ref, *refs,
+                    kg, gpj, metric):
+    """``gpj`` candidate groups per grid step: each group's db block arrives
+    via its own scalar-prefetched index map (hardware-pipelined gathers of
+    contiguous 32 KB group blocks), rescored with three exact-product bf16
+    dots."""
+    db_refs, vn_refs, out_ref = refs[:gpj], refs[gpj:2 * gpj], refs[-1]
+    steps_per_q = kg // gpj
     t = pl.program_id(0)
-    i = t // kg
-    j = t % kg
-    g = gidx_ref[i, j]
+    i = t // steps_per_q
+    jj = t % steps_per_q
     dn = (((1,), (1,)), ((), ()))
-    acc = jax.lax.dot_general(q0_ref[:], db_ref[:], dn,
-                              preferred_element_type=jnp.float32)
-    acc += jax.lax.dot_general(q1_ref[:], db_ref[:], dn,
-                               preferred_element_type=jnp.float32)
-    acc += jax.lax.dot_general(q2_ref[:], db_ref[:], dn,
-                               preferred_element_type=jnp.float32)  # (8, G)
-    if metric is MetricType.L2:
-        s = 2.0 * acc - vn_ref[0, :][None, :]
-    else:
-        s = acc
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, GROUP), 1) + g * GROUP
-    s = jnp.where(col < nt_ref[0], s, NEG_INF)
     # Only row i%8 of the 8-row dot block scores THIS query's group (each
     # query has its own candidate list). The out block is one 8-query
-    # stripe, revisited for kg·8 consecutive grid steps (same block index →
-    # stays in VMEM); the stripe's first visitor (i%8 == 0) initializes each
-    # column range, later visitors accumulate their masked row.
+    # stripe, revisited for consecutive grid steps (same block index →
+    # stays in VMEM); the stripe's first visitor (i%8 == 0) initializes
+    # each column range, later visitors accumulate their masked row.
     rowsel = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == (i % 8)
-    blk = jnp.where(rowsel, s, 0.0)
+    for u in range(gpj):
+        g = gidx_ref[i, jj * gpj + u]
+        acc = jax.lax.dot_general(q0_ref[:], db_refs[u][:], dn,
+                                  preferred_element_type=jnp.float32)
+        acc += jax.lax.dot_general(q1_ref[:], db_refs[u][:], dn,
+                                   preferred_element_type=jnp.float32)
+        acc += jax.lax.dot_general(q2_ref[:], db_refs[u][:], dn,
+                                   preferred_element_type=jnp.float32)
+        if metric is MetricType.L2:
+            s = 2.0 * acc - vn_refs[u][0, :][None, :]
+        else:
+            s = acc
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, GROUP), 1) + g * GROUP
+        s = jnp.where(col < nt_ref[0], s, NEG_INF)
+        blk = jnp.where(rowsel, s, 0.0)
+        cslice = pl.ds((jj * gpj + u) * GROUP, GROUP)
 
-    @pl.when(i % 8 == 0)
-    def _():
-        out_ref[:, pl.ds(j * GROUP, GROUP)] = blk
+        @pl.when(i % 8 == 0)
+        def _():
+            out_ref[:, cslice] = blk
 
-    @pl.when(i % 8 != 0)
-    def _():
-        out_ref[:, pl.ds(j * GROUP, GROUP)] += blk
+        @pl.when(i % 8 != 0)
+        def _():
+            out_ref[:, cslice] += blk
 
 
 def rescore_groups_pallas(
@@ -332,41 +387,48 @@ def rescore_groups_pallas(
 
     nq_pad, d_pad = queries_f32.shape
     kg = gidx.shape[1]
+    gpj = RESCORE_GPJ if kg % RESCORE_GPJ == 0 else 1
+    steps_per_q = kg // gpj
     q0, q1, q2 = split3_f32_bf16(queries_f32)
     vn = jax.lax.slice_in_dim(db_norms, 0, nv_eff, axis=0).reshape(1, nv_eff)
-    dbs = jax.lax.slice_in_dim(db, 0, nv_eff, axis=0)
+    # db passed WHOLE: gidx blocks always land below nv_eff; slicing would
+    # copy the database when nv_eff < capacity
+    dbs = db
 
     def q_idx(t, gidx_ref, nt_ref):
-        return ((t // kg) // 8, 0)
+        return ((t // steps_per_q) // 8, 0)
 
-    def db_idx(t, gidx_ref, nt_ref):
-        return (gidx_ref[t // kg, t % kg], 0)
+    def mk_db_idx(u):
+        def db_idx(t, gidx_ref, nt_ref):
+            return (gidx_ref[t // steps_per_q, (t % steps_per_q) * gpj + u], 0)
+        return db_idx
 
-    def vn_idx(t, gidx_ref, nt_ref):
-        return (0, gidx_ref[t // kg, t % kg])
+    def mk_vn_idx(u):
+        def vn_idx(t, gidx_ref, nt_ref):
+            return (0, gidx_ref[t // steps_per_q, (t % steps_per_q) * gpj + u])
+        return vn_idx
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nq_pad * kg,),
-        in_specs=[
-            pl.BlockSpec((8, d_pad), q_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, d_pad), q_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, d_pad), q_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, d_pad), db_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, GROUP), vn_idx, memory_space=pltpu.VMEM),
-        ],
+        grid=(nq_pad * steps_per_q,),
+        in_specs=[pl.BlockSpec((8, d_pad), q_idx, memory_space=pltpu.VMEM)] * 3
+        + [pl.BlockSpec((GROUP, d_pad), mk_db_idx(u), memory_space=pltpu.VMEM)
+           for u in range(gpj)]
+        + [pl.BlockSpec((1, GROUP), mk_vn_idx(u), memory_space=pltpu.VMEM)
+           for u in range(gpj)],
         out_specs=pl.BlockSpec(
-            (8, kg * GROUP), lambda t, g, n: ((t // kg) // 8, 0),
+            (8, kg * GROUP), lambda t, g, n: ((t // steps_per_q) // 8, 0),
             memory_space=pltpu.VMEM,
         ),
     )
-    kernel = functools.partial(_rescore_kernel, kg=kg, metric=metric)
+    kernel = functools.partial(_rescore_kernel, kg=kg, gpj=gpj, metric=metric)
+    args = [q0, q1, q2] + [dbs] * gpj + [vn] * gpj
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nq_pad, kg * GROUP), jnp.float32),
         interpret=interpret,
-    )(gidx, jnp.asarray(ntotal, jnp.int32).reshape(1), q0, q1, q2, dbs, vn)
+    )(gidx, jnp.asarray(ntotal, jnp.int32).reshape(1), *args)
 
 
 def _sweep_eps(queries_f32: jax.Array, db_norms: jax.Array, nv_eff: int,
@@ -417,6 +479,7 @@ def fused_search(
     nv_eff: int,
     interpret: bool = False,
     db_split=None,             # fp32/f16 storage: (db_hi, db_lo) bf16 pair
+    pair_only: bool = False,   # HBM holds ONLY the pair (db is db_hi)
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Full fused path: kernel group-max → top groups → gather+rescore.
 
@@ -429,7 +492,7 @@ def fused_search(
     """
     nq_pad, d_pad = queries_f32.shape
     k_eff = min(k, nv_eff)
-    pair_sweep = db.dtype != jnp.bfloat16
+    pair_sweep = pair_only or db_split is not None or db.dtype != jnp.bfloat16
 
     # phase 1 — the Pallas sweep (fp32-grade nomination for every storage)
     gmax = groupmax_scores(
@@ -441,6 +504,8 @@ def fused_search(
     # phase 2 — top-(k+pad) groups, id-ascending for oracle tie order; t is
     # the certificate threshold (max un-nominated group-max)
     kg = min(k_eff + GROUP_PAD, ngroups)
+    if kg % RESCORE_GPJ and kg < ngroups:
+        kg += 1  # even kg engages the 2-groups-per-step rescore
     gidx, t = _top_groups(gmax, kg, ngroups)
     gidx = jnp.sort(gidx, axis=-1)
 
@@ -449,7 +514,31 @@ def fused_search(
     # the sweep, whose only job is nominating groups.
     offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, GROUP), 2)
     cols = (gidx[:, :, None] * GROUP + offs).reshape(nq_pad, kg * GROUP)
-    if db.dtype == jnp.bfloat16:
+    if pair_only:
+        # pair-only HBM (f16 always; f32 keep_master=False): gather both
+        # halves' group slices, reconstruct fp32 rows (exact hi+lo sum),
+        # HIGHEST dot — fp32-true w.r.t. the pair-represented database.
+        def g_rows(part):
+            # reshape the WHOLE buffer (metadata-only; a slice would copy
+            # the database whenever nv_eff < capacity)
+            pg = part.reshape(part.shape[0] // GROUP, GROUP * d_pad)
+            r = jnp.take(pg, gidx.reshape(-1), axis=0)
+            return r.reshape(nq_pad, kg * GROUP, d_pad).astype(jnp.float32)
+
+        rows = g_rows(db_split[0]) + g_rows(db_split[1])
+        dn = (((1,), (2,)), ((0,), (0,)))
+        dots = jax.lax.dot_general(
+            queries_f32, rows, dn,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if metric is MetricType.L2:
+            vn_g = db_norms.reshape(db_norms.shape[0] // GROUP, GROUP)
+            vn = jnp.take(vn_g, gidx.reshape(-1), axis=0)
+            s = 2.0 * dots - vn.reshape(nq_pad, kg * GROUP)
+        else:
+            s = dots
+    elif db.dtype == jnp.bfloat16:
         # bf16 rows: the scalar-prefetch Pallas kernel pipelines the group
         # gather as contiguous 32 KB block DMAs and rescores in-kernel with
         # an exact 3-way query split (fp32-true; bf16×bf16 products are
@@ -465,9 +554,7 @@ def fused_search(
         # a scalar-prefetch Pallas block-copy gather measured SLOWER —
         # 1.64 vs 1.50 ms end-to-end — the extra buffer round trip outweighs
         # the DMA win, unlike the bf16 case where rescoring happens in-kernel.)
-        db_g = jax.lax.slice_in_dim(db, 0, nv_eff, axis=0).reshape(
-            ngroups, GROUP * d_pad
-        )
+        db_g = db.reshape(db.shape[0] // GROUP, GROUP * d_pad)
         rows = jnp.take(db_g, gidx.reshape(-1), axis=0)
         rows = rows.reshape(nq_pad, kg * GROUP, d_pad)
         dn = (((1,), (2,)), ((0,), (0,)))
@@ -477,9 +564,7 @@ def fused_search(
             precision=jax.lax.Precision.HIGHEST,
         )                                           # (nq_pad, kg*GROUP)
         if metric is MetricType.L2:
-            vn_g = jax.lax.slice_in_dim(db_norms, 0, nv_eff, axis=0).reshape(
-                ngroups, GROUP
-            )
+            vn_g = db_norms.reshape(db_norms.shape[0] // GROUP, GROUP)
             vn = jnp.take(vn_g, gidx.reshape(-1), axis=0)
             s = 2.0 * dots - vn.reshape(nq_pad, kg * GROUP)
         else:
@@ -510,8 +595,10 @@ def fused_path_eligible(*, metric: MetricType, k: int, nv_eff: int,
     route to the XLA paths. VMEM never gates: the sweep tile is bounded by
     _pick_block_v and the rescore holds one 8-query stripe (ADVICE r1)."""
     # fp32 and f16 storage sweep over the bf16 (hi, lo) pair (Mosaic has no
-    # f16 MXU type; fp32 needs multi-pass) — 4 sweep bytes/element and a
-    # d ≤ 1024 VMEM bound for the double tile. bf16 sweeps natively to 2048.
+    # f16 MXU type; fp32 needs multi-pass) — 4 sweep/gather bytes/element and
+    # a d ≤ 1024 VMEM bound for the double tile. bf16 sweeps natively to 2048.
+    # Since f16 went pair-only (no separate f16 HBM copy), the plain path
+    # reads the same 4 B/element, so no relative sweep penalty remains.
     is_f16 = dtype is not None and jnp.dtype(dtype) == jnp.float16
     pair_sweep = itemsize == 4 or is_f16
     d_cap = 1024 if pair_sweep else 2048
@@ -519,14 +606,11 @@ def fused_path_eligible(*, metric: MetricType, k: int, nv_eff: int,
         return False
     ngroups = nv_eff // GROUP
     kg = min(k + GROUP_PAD, ngroups)
-    gather_bytes = nq_pad * kg * GROUP * d_pad * itemsize
+    gather_bytes = nq_pad * kg * GROUP * d_pad * (4 if pair_sweep else 2)
     if gather_bytes > FUSED_GATHER_BUDGET:
         return False
     plain_extra = nq_pad * nv_eff * (
         PLAIN_SCORE_BYTES + PLAIN_TOPK_BYTES_PER_K16 * k / 16.0
     )
     fused_extra = 2.0 * gather_bytes + nq_pad * ngroups * 8.0
-    if is_f16:
-        # the pair doubles f16's sweep read vs the plain path's 2 B/element
-        fused_extra += nv_eff * d_pad * 2.0
     return fused_extra < plain_extra

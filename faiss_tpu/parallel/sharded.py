@@ -52,6 +52,7 @@ def _build_sharded_search_fn(
     use_fused: bool = False,
     use_split: bool = False,
     interpret: bool = False,
+    pair_only: bool = False,
 ):
     """One shard_map program: local scan+select, ICI all-gather, k-merge.
 
@@ -69,7 +70,7 @@ def _build_sharded_search_fn(
             vals, ids, cert = pallas_fused.fused_search(
                 queries, db, norms, nt,
                 k=k_local, metric=metric, nv_eff=nv_eff, interpret=interpret,
-                db_split=split if split else None,
+                db_split=split if split else None, pair_only=pair_only,
             )
             if metric is MetricType.L2:
                 # restore the rank-invariant −‖q‖² so cross-shard scores share
@@ -80,9 +81,14 @@ def _build_sharded_search_fn(
             return vals, ids, cert
 
         def masked_block(start, width):
-            dbs = jax.lax.dynamic_slice_in_dim(db, start, width, axis=0)
             ns = jax.lax.dynamic_slice_in_dim(norms, start, width, axis=0)
-            s = dist_ops.matmul_scores(queries, dbs, ns, metric)
+            if pair_only:
+                dh = jax.lax.dynamic_slice_in_dim(split[0], start, width, axis=0)
+                dl = jax.lax.dynamic_slice_in_dim(split[1], start, width, axis=0)
+                s = dist_ops.pair_scores(queries, dh, dl, ns, metric)
+            else:
+                dbs = jax.lax.dynamic_slice_in_dim(db, start, width, axis=0)
+                s = dist_ops.matmul_scores(queries, dbs, ns, metric)
             col = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1) + start
             return jnp.where(col < nt, s, -jnp.inf)
 
@@ -160,8 +166,10 @@ def _build_sharded_search_fn(
 class _ShardStore:
     """One shard: a DeviceStore pinned to a device + its int32 gid column."""
 
-    def __init__(self, d: int, storage: StorageType, metric: MetricType, device):
-        self.store = DeviceStore(d, storage, metric, device=device)
+    def __init__(self, d: int, storage: StorageType, metric: MetricType,
+                 device, keep_master: bool = True):
+        self.store = DeviceStore(d, storage, metric, device=device,
+                                 keep_master=keep_master)
         self.gids: Optional[jax.Array] = None  # (capacity,) int32, −1 padding
         self.device = device
 
@@ -211,12 +219,14 @@ class ShardedIndexFlat:
         num_shards: Optional[int] = None,
         num_replicas: int = 1,
         tuning=None,
+        keep_master: bool = True,
     ):
         self.metric = MetricType.coerce(metric)
         self.storage_type = StorageType.coerce(storage)
         self.res = resources if resources is not None else default_resources()
         self.tuning = tuning if tuning is not None \
             else self.res.capabilities.tuning
+        self.keep_master = bool(keep_master)
         r = int(num_replicas)
         navail = len(self.res.devices)
         p = num_shards or navail // r
@@ -229,7 +239,8 @@ class ShardedIndexFlat:
         self.num_replicas = r
         self.devices = list(dev_grid[0])  # replica-0 devices own the shards
         self.shards: List[_ShardStore] = [
-            _ShardStore(d, self.storage_type, self.metric, dev)
+            _ShardStore(d, self.storage_type, self.metric, dev,
+                        keep_master=keep_master)
             for dev in self.devices
         ]
         self.d = int(d)
@@ -341,7 +352,6 @@ class ShardedIndexFlat:
                 gshape, sharding, all_pieces
             )
 
-        db = global_arr([s.store.db for s in self.shards], (d_pad,))
         norms = global_arr([s.store.norms for s in self.shards], ())
         gids = global_arr([s.gids for s in self.shards], ())
         ntotals = jax.device_put(
@@ -349,11 +359,15 @@ class ShardedIndexFlat:
             NamedSharding(self.mesh, P(AXIS)),
         )
         split = ()
-        if self.shards[0].store.db_hi is not None:  # fp32 storage
+        if self.shards[0].store.db_hi is not None:  # fp32/f16 storage
             split = (
                 global_arr([s.store.db_hi for s in self.shards], (d_pad,)),
                 global_arr([s.store.db_lo for s in self.shards], (d_pad,)),
             )
+        if self.shards[0].store.db is not None:
+            db = global_arr([s.store.db for s in self.shards], (d_pad,))
+        else:
+            db = split[0]  # pair-only HBM: hi stands in (see _build fn)
         self._assembled = (db, norms, gids, ntotals, cap, split)
         return self._assembled
 
@@ -402,16 +416,18 @@ class ShardedIndexFlat:
             )
         )
         interpret = not self.res.capabilities.is_tpu
-        use_split = use_fused and bool(split)
+        pair_only = self.shards[0].store.pair_only
+        use_split = bool(split) and (use_fused or pair_only)
         key = ("sharded_search", self.num_shards, self.num_replicas, nv_eff,
                cap, d_pad, nq_pad, int(k), self.metric,
-               self.storage_type, chunk, use_fused, use_split)
+               self.storage_type, chunk, use_fused, use_split, pair_only)
         fn = self.res.cached(
             key,
             lambda: _build_sharded_search_fn(
                 mesh=self.mesh, nv_eff=nv_eff, nq_pad=nq_local, k=int(k),
                 metric=self.metric, chunk=chunk,
                 use_fused=use_fused, use_split=use_split, interpret=interpret,
+                pair_only=pair_only,
             ),
         )
         args = (db, norms, gids, ntotals, q) + (split if use_split else ())
@@ -460,8 +476,12 @@ class ShardedIndexFlat:
 
     def describe(self) -> str:
         per = [s.store.ntotal for s in self.shards]
+        hbm = sum(s.store.hbm_bytes() for s in self.shards)
         return (
             f"ShardedIndexFlat(d={self.d}, metric={self.metric.value}, "
             f"storage={self.storage_type.value}, ntotal={self.ntotal}, "
-            f"shards={self.num_shards}, per_shard={per})\n" + self.res.describe()
+            f"shards={self.num_shards}, per_shard={per}, "
+            f"hbm={hbm / 1e6:.1f} MB, "
+            f"pair_only={self.shards[0].store.pair_only}, "
+            f"fused_fallbacks={self.fused_fallbacks})\n" + self.res.describe()
         )

@@ -47,6 +47,15 @@ PIPELINE_DEPTH = 32
 WARMUP = 3
 ITERS = 10
 
+# Single-query dispatch envelope (the reference documents ~200–500 µs Metal
+# dispatch overhead and recommends CPU at nq=1 — README.md:221). Through
+# this repo's axon tunnel a blocking nq=1 search costs ~25–30 ms of pure
+# RPC; on a LOCALLY-attached TPU the per-dispatch overhead is jit dispatch
+# + host↔HBM transfer of (d + k) floats ≈ 100–500 µs, so expect nq=1
+# blocking latency ≈ device time (~0.2–1 ms) + this envelope. Measured
+# envelope bounds in µs; see BENCHMARKS.md "Single-query latency".
+LOCAL_DISPATCH_OVERHEAD_US = (100, 500)
+
 
 def measure_search(index, xq: np.ndarray, k: int,
                    iters: int = ITERS, warmup: int = WARMUP,

@@ -1,0 +1,119 @@
+"""HBM storage-mode tests (VERDICT r1 missing #3: the fp32 index cost
+8 B/elem of HBM — master + derived pair — and f16 cost 6).
+
+Modes under test (storage.DeviceStore class doc):
+  f16            pair-only ALWAYS (4 B/elem; decode exact)
+  f32 default    master + pair (8 B/elem; exact fp32 everything)
+  f32 keep_master=False   pair-only HBM (4 B/elem) + exact host master
+"""
+
+import numpy as np
+import pytest
+
+import faiss_tpu
+from faiss_tpu import ShardedIndexFlat, TpuIndexFlat
+from faiss_tpu.io import load_index, save_index
+
+from common import compare_results, make_data, numpy_search, recall_at_k
+
+
+def _hbm_per_elem(idx):
+    st = idx.store
+    return st.hbm_bytes() / (st.capacity * st.d_pad)
+
+
+def test_f16_pair_only_four_bytes():
+    xb, xq = make_data(4000, 8, 64)
+    idx = TpuIndexFlat(64, storage="f16")
+    idx.add(xb)
+    assert idx.store.db is None          # no separate f16 copy in HBM
+    assert _hbm_per_elem(idx) <= 4.5
+    # decode is EXACT: hi+lo reproduces the f16 value bit-for-bit
+    rec = idx.reconstruct_n(0, 100)
+    np.testing.assert_array_equal(rec, xb[:100].astype(np.float16))
+    # search = exact top-k of the quantized db (top-1 vs quantized oracle)
+    D, I = idx.search(xq, 10)
+    dbq = xb.astype(np.float16).astype(np.float64)
+    s = ((xq.astype(np.float64) ** 2).sum(1)[:, None]
+         - 2 * xq.astype(np.float64) @ dbq.T
+         + (xb.astype(np.float64) ** 2).sum(1)[None, :])
+    np.testing.assert_array_equal(I[:, 0], s.argmin(1))
+
+
+def test_f32_keep_master_false():
+    xb, xq = make_data(9000, 8, 64)
+    idx = TpuIndexFlat(64, keep_master=False)
+    idx.add(xb[:5000])
+    idx.add(xb[5000:])  # multiple adds → host master consolidation
+    assert idx.store.db is None
+    assert _hbm_per_elem(idx) <= 4.5     # VERDICT done-bar: ≤ 4.5 B/elem
+    # reconstruct / vectors_numpy are EXACT (host master)
+    np.testing.assert_array_equal(idx.vectors_numpy(), xb)
+    np.testing.assert_array_equal(idx.reconstruct(1234), xb[1234])
+    # recall stays 1.0 (pair value ≈ fp32 to ~2^-16)
+    D, I = idx.search(xq, 10)
+    Dr, Ir = numpy_search(xb, xq, 10)
+    assert recall_at_k(I, Ir, 10) == 1.0
+    np.testing.assert_allclose(D, Dr, rtol=1e-3, atol=1e-3)
+
+
+def test_f32_default_unchanged():
+    xb, xq = make_data(2000, 4, 32)
+    idx = TpuIndexFlat(32)
+    idx.add(xb)
+    assert idx.store.db is not None
+    assert 7.5 <= _hbm_per_elem(idx) <= 8.5  # master + pair, documented
+
+
+def test_pair_only_io_roundtrip(tmp_path):
+    xb, xq = make_data(3000, 4, 48)
+    for kwargs in (dict(storage="f16"), dict(keep_master=False)):
+        idx = TpuIndexFlat(48, **kwargs)
+        idx.add(xb)
+        p = str(tmp_path / "idx.npz")
+        save_index(idx, p)
+        idx2 = load_index(p, keep_master=False)
+        D1, I1 = idx.search(xq, 5)
+        D2, I2 = idx2.search(xq, 5)
+        np.testing.assert_array_equal(I1, I2)
+        np.testing.assert_array_equal(D1, D2)
+
+
+def test_pair_only_sharded():
+    xb, xq = make_data(8000, 8, 32)
+    idx = ShardedIndexFlat(32, num_shards=4, keep_master=False)
+    idx.add(xb)
+    D, I = idx.search(xq, 10)
+    Dr, Ir = numpy_search(xb, xq, 10)
+    assert recall_at_k(I, Ir, 10) == 1.0
+    single = TpuIndexFlat(32, keep_master=False)
+    single.add(xb)
+    D1, I1 = single.search(xq, 10)
+    np.testing.assert_array_equal(I, I1)
+
+
+def test_pair_only_fused_path(monkeypatch):
+    """Fused vs plain parity in pair-only mode (both rank by the hi+lo
+    value, so ids must agree exactly)."""
+    from faiss_tpu.ops import pallas_fused as pf
+
+    monkeypatch.setattr(pf, "fused_path_eligible",
+                        lambda **kw: kw["nv_eff"] >= 8192)
+    xb, xq = make_data(16384, 8, 64)
+    for kwargs in (dict(keep_master=False), dict(storage="f16")):
+        idx = TpuIndexFlat(64, **kwargs)
+        idx.add(xb)
+        D1, I1 = idx.search(xq, 10)      # fused (forced eligible)
+        assert idx.fused_fallbacks == 0
+        idx.set_force_xla(True)
+        D2, I2 = idx.search(xq, 10)      # plain pair_scores
+        np.testing.assert_array_equal(I1, I2)
+        np.testing.assert_allclose(D1, D2, rtol=1e-5, atol=1e-4)
+
+
+def test_describe_reports_memory():
+    xb, _ = make_data(2000, 4, 32)
+    idx = TpuIndexFlat(32, keep_master=False)
+    idx.add(xb)
+    text = idx.describe()
+    assert "pair_only=True" in text and "B/elem" in text
