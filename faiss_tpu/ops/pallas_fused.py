@@ -293,26 +293,37 @@ def _top_groups(
     # the smaller sort. Kept for ngroups ≥ 64K (e.g. ≥8M rows per chip),
     # where the single sort's n·log n growth flips the balance.
     if ngroups < 65536 or ngroups % SUPERGROUP or kg * SUPERGROUP > ngroups:
+        _, gidx = jax.lax.top_k(gmax, kg)
         if kg >= ngroups:
-            _, gidx = jax.lax.top_k(gmax, kg)
             return gidx, jnp.full((nq,), NEG_INF, jnp.float32)
-        tv, gidx = jax.lax.top_k(gmax, kg + 1)
-        return gidx[:, :kg], tv[:, kg]
+        # threshold = max over NON-nominated groups. Scatter −inf at the
+        # nominated columns and row-max, instead of consuming top_k's
+        # VALUES output — on v5e, using the values of a top_k whose indices
+        # are already consumed cost +0.6 ms/batch at 8192 groups (XLA
+        # lowers indices-only top-k much faster); the scatter+max rereads
+        # only the 3.4 MB group-max array (~20 µs).
+        masked = jnp.put_along_axis(gmax, gidx, NEG_INF, axis=-1,
+                                    inplace=False)
+        return gidx, jnp.max(masked, axis=-1)
     nblocks = ngroups // SUPERGROUP
     bmax = jnp.max(gmax.reshape(nq, nblocks, SUPERGROUP), axis=-1)
-    tvb, bidx = jax.lax.top_k(bmax, min(kg + 1, nblocks))  # (nq, kg(+1))
-    bidx = jnp.sort(bidx[:, :kg], axis=-1)     # id-ascending candidates
+    _, bidx = jax.lax.top_k(bmax, kg)          # indices-only (fast lowering)
+    bidx_sorted = jnp.sort(bidx, axis=-1)      # id-ascending candidates
     offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, SUPERGROUP), 2)
-    cand_cols = (bidx[:, :, None] * SUPERGROUP + offs).reshape(
+    cand_cols = (bidx_sorted[:, :, None] * SUPERGROUP + offs).reshape(
         nq, kg * SUPERGROUP
     )
     cand = jnp.take_along_axis(gmax, cand_cols, axis=1)
-    tvc, pos = jax.lax.top_k(cand, kg + 1)     # kg·8 ≥ kg+1 always
-    gidx = jnp.take_along_axis(cand_cols, pos[:, :kg], axis=1)
-    # non-nominated = (candidates \ nominated) ∪ (groups of non-cand blocks)
-    t = tvc[:, kg]
+    _, pos = jax.lax.top_k(cand, kg)
+    gidx = jnp.take_along_axis(cand_cols, pos, axis=1)
+    # non-nominated = (candidates \ nominated) ∪ (groups of non-cand blocks);
+    # both thresholds via scatter+max (indices-only top_k, see above)
+    t = jnp.max(jnp.put_along_axis(cand, pos, NEG_INF, axis=-1,
+                                   inplace=False), axis=-1)
     if kg < nblocks:
-        t = jnp.maximum(t, tvb[:, kg])
+        t_blk = jnp.max(jnp.put_along_axis(bmax, bidx, NEG_INF, axis=-1,
+                                           inplace=False), axis=-1)
+        t = jnp.maximum(t, t_blk)
     return gidx, t
 
 
@@ -570,7 +581,11 @@ def fused_search(
         else:
             s = dots
     s = jnp.where(cols < ntotal, s, NEG_INF)
-    vals, pos = jax.lax.top_k(s, k_eff)
+    # indices-only top_k + value gather: consuming BOTH top_k outputs costs
+    # ~0.2 ms extra at this shape (slower XLA lowering); the gather from the
+    # tiny (nq, kg·G) score block reproduces the values exactly
+    _, pos = jax.lax.top_k(s, k_eff)
+    vals = jnp.take_along_axis(s, pos, axis=-1)
     ids = jnp.take_along_axis(cols, pos, axis=-1)
 
     # certificate: the k-th rescored score strictly dominates anything a
