@@ -66,6 +66,7 @@ def _build_search_fn(
     chunk: int,
     interpret: bool = False,
     pair_only: bool = False,
+    sweep_passes: int = 2,
 ):
     """Compile one search pipeline for a static (nv_eff, nq_pad, k) shape.
 
@@ -103,6 +104,7 @@ def _build_search_fn(
                 queries, db, norms, ntotal,
                 k=k, metric=metric, nv_eff=nv_eff, interpret=interpret,
                 db_split=split if split else None, pair_only=pair_only,
+                sweep_passes=sweep_passes,
             )
             if metric is MetricType.L2:
                 # kernel scores omit the rank-invariant −‖q‖² term; restore it
@@ -311,10 +313,13 @@ class TpuIndexFlat:
         i = np.full((nq, k), -1, np.int64)
         return d, i
 
-    def _run_search_fn(self, q, k: int, nq_pad: int, *, force_plain: bool):
+    def _run_search_fn(self, q, k: int, nq_pad: int, *, force_plain: bool,
+                       full_sweep: bool = False):
         """Build (cached) + enqueue one search program for the current shape.
 
-        Returns (dists, labels, cert) unrealized device arrays."""
+        Returns (dists, labels, cert) unrealized device arrays.
+        ``full_sweep`` forces the exact-pair nomination sweep (used by the
+        two-tier certificate fallback before resorting to the plain path)."""
         nv_eff = _round_up(self.ntotal, ROW_TILE)
         tuning = self.tuning
         use_direct = (
@@ -333,12 +338,14 @@ class TpuIndexFlat:
                 dtype=self.store.dtype,
             )
         )
+        sweep_passes = 2 if full_sweep else \
+            pallas_fused.pick_sweep_passes(nq_pad)
         interpret = not self.res.capabilities.is_tpu
         pair_only = self.store.pair_only
         key = (
             "flat_search", nv_eff, self.store.d_pad, nq_pad, int(k),
             self.metric, self.storage_type, use_direct, use_fused,
-            tuning.chunk_v, pair_only,
+            tuning.chunk_v, pair_only, sweep_passes,
         )
         fn = self.res.cached(
             key,
@@ -353,6 +360,7 @@ class TpuIndexFlat:
                 chunk=tuning.chunk_v,
                 interpret=interpret,
                 pair_only=pair_only,
+                sweep_passes=sweep_passes,
             ),
         )
         split = ()
@@ -360,7 +368,7 @@ class TpuIndexFlat:
             split = (self.store.db_hi, self.store.db_lo)
         db_arg = self.store.db if self.store.db is not None else self.store.db_hi
         return fn(
-            db_arg, self.store.norms, q, np.int32(self.ntotal),
+            db_arg, self.store.norms, q, self.store.ntotal_dev,
             *split,
         ) + (use_fused,)
 
@@ -375,10 +383,25 @@ class TpuIndexFlat:
             q, k, nq_pad, force_plain=False)
         fallback = None
         if use_fused:
+            reduced = pallas_fused.pick_sweep_passes(nq_pad) == 1
+
             def fallback():
-                # certificate failed (near-ties at the nomination boundary):
-                # re-run the batch on the exact plain path, synchronously
+                # certificate failed (near-ties at the nomination boundary).
+                # Tier 1 (reduced sweeps only): the exact-pair fused sweep —
+                # ~5× cheaper than plain; tier 2: the plain XLA path, exact
+                # by construction.
                 self.fused_fallbacks += 1
+                if reduced:
+                    d2, i2, c2, _ = self._run_search_fn(
+                        q, k, nq_pad, force_plain=False, full_sweep=True)
+                    d2, i2, c2 = jax.device_get((d2, i2, c2))
+                    if np.asarray(c2).all():
+                        return (
+                            np.ascontiguousarray(np.asarray(d2)[:nq],
+                                                 np.float32),
+                            np.ascontiguousarray(np.asarray(i2)[:nq],
+                                                 np.int64),
+                        )
                 d2, i2, _, _ = self._run_search_fn(
                     q, k, nq_pad, force_plain=True)
                 d2, i2 = jax.device_get((d2, i2))

@@ -68,6 +68,18 @@ NEG_INF = float("-inf")
 # fused-path eligibility (dispatch heuristics, named like the reference's
 # MetalDistance.mm:344-353 gate constants)
 FUSED_MIN_NV = 8192             # below this the plain XLA path is already tiny
+# At nq_pad below this the sweep is HBM-bound and the extra exact-pair MXU
+# pass is free; above it the sweep is at the MXU/DMA roofline crossover and
+# the REDUCED single-query-operand sweep (sweep_passes=1) wins ~0.15 ms at
+# 1M×128 (measured v5e r2). Exactness is unchanged: reduced nomination is
+# covered by the runtime certificate + the two-tier fallback (full-precision
+# fused, then plain) in index.py/sharded.py.
+REDUCED_SWEEP_MIN_NQ = 32
+
+
+def pick_sweep_passes(nq_pad: int) -> int:
+    """Dispatch: 1 (reduced, certified) at large nq, else 2 (exact pair)."""
+    return 1 if nq_pad >= REDUCED_SWEEP_MIN_NQ else 2
 FUSED_GATHER_BUDGET = 1 << 30    # hard cap on phase-3 gather materialization
 # Cost-model coefficients, in bytes-of-HBM-traffic-equivalent per element
 # (anchored on v5e measurements, 2026-08: plain materializes the nq×nv fp32
@@ -94,9 +106,14 @@ def _pick_block_v(d_pad: int, itemsize: int, nv: int) -> int:
     return 1024  # fused_path_eligible bounds d_pad so this still fits VMEM
 
 
-def _epilogue(dots, vn_ref, nt_ref, out_ref, *, metric, block_v, nq_pad,
+def _epilogue(dots, vn_ref, out_ref, *, metric, block_v, nq_pad,
               direct=False):
-    """Shared mask + group-max epilogue (VPU).
+    """Shared group-max epilogue (VPU).
+
+    ``vn_ref`` streams PRE-MASKED norms: ``+inf`` past ntotal (built once per
+    search in groupmax_scores), so ``2·dots − vn`` / ``dots − vn`` is −inf on
+    masked columns with no per-tile iota/compare/select — the in-kernel mask
+    cost ~1.5 µs/tile at block_v=16384 (measured r2, ~0.09 ms/sweep).
 
     ``direct=False``: out block is (ngroups_blk, nq) — lane-legal for any
     nq_pad but costs a big XLA transpose downstream. ``direct=True``: out
@@ -104,32 +121,60 @@ def _epilogue(dots, vn_ref, nt_ref, out_ref, *, metric, block_v, nq_pad,
     is a lane multiple (block_v = 16384 → 128 groups), measured 878 GB/s vs
     610 for the transposed layout at 1M×128 bf16 AND it feeds phase 2's
     row-major top_k for free (the transpose cost ~0.3 ms)."""
-    j = pl.program_id(1)
     if metric is MetricType.L2:
         s = 2.0 * dots - vn_ref[0, :][None, :]
     else:
-        s = dots
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, block_v), 1) + j * block_v
-    s = jnp.where(col < nt_ref[0, 0], s, NEG_INF)
+        s = dots - vn_ref[0, :][None, :]  # vn is 0 / +inf for IP
     gm = jnp.max(s.reshape(nq_pad, block_v // GROUP, GROUP), axis=-1)
     out_ref[:] = gm if direct else gm.T
 
 
-def _kernel_qpair(qh_ref, ql_ref, db_ref, vn_ref, nt_ref, out_ref, *,
+def _kernel_qpair(qh_ref, ql_ref, db_ref, vn_ref, out_ref, *,
                   metric, block_v, nq_pad, direct=False):
     """One nv tile, bf16 storage: two bf16 MXU passes over the exact query
     (hi, lo) pair — fp32-grade nomination (only the query's double-trunc
-    residual is dropped). The sweep is HBM-bound, so pass 2 is ~free."""
+    residual is dropped). At small nq the sweep is HBM-bound and pass 2 is
+    ~free; at nq≈128 the tile is at the MXU/DMA roofline crossover (see
+    _kernel_q1 for the certified single-pass variant)."""
     dn = (((1,), (1,)), ((), ()))
     acc = jax.lax.dot_general(qh_ref[:], db_ref[:], dn,
                               preferred_element_type=jnp.float32)
     acc += jax.lax.dot_general(ql_ref[:], db_ref[:], dn,
                                preferred_element_type=jnp.float32)
-    _epilogue(acc, vn_ref, nt_ref, out_ref, metric=metric,
+    _epilogue(acc, vn_ref, out_ref, metric=metric,
               block_v=block_v, nq_pad=nq_pad, direct=direct)
 
 
-def _kernel_split(qh_ref, ql_ref, dh_ref, dl_ref, vn_ref, nt_ref, out_ref, *,
+def _kernel_q1(q1_ref, _unused_ref, db_ref, vn_ref, out_ref, *,
+               metric, block_v, nq_pad, direct=False):
+    """One nv tile, bf16 storage, SINGLE bf16 MXU pass over RNE-rounded
+    queries. Nomination error grows to ~2^-9·‖q‖·max‖v‖ (vs ~2^-16 for the
+    pair) — still covered by the runtime exactness certificate (_sweep_eps
+    with single_pass=True); the win is halving MXU work at large nq where
+    the 2-pass sweep is compute-bound."""
+    dn = (((1,), (1,)), ((), ()))
+    acc = jax.lax.dot_general(q1_ref[:], db_ref[:], dn,
+                              preferred_element_type=jnp.float32)
+    _epilogue(acc, vn_ref, out_ref, metric=metric,
+              block_v=block_v, nq_pad=nq_pad, direct=direct)
+
+
+def _kernel_split2(q1_ref, _unused_ref, dh_ref, dl_ref, vn_ref, out_ref, *,
+                   metric, block_v, nq_pad, direct=False):
+    """fp32/f16 storage, REDUCED sweep: two bf16 MXU passes q_rne·(hi + lo).
+    Drops only the query's RNE rounding (~2^-9 rel) relative to the exact
+    pair value — certified via _sweep_eps(single_pass=True). Cuts MXU work
+    by a third where the 3-pass sweep is compute-bound (large nq)."""
+    dn = (((1,), (1,)), ((), ()))
+    acc = jax.lax.dot_general(q1_ref[:], dh_ref[:], dn,
+                              preferred_element_type=jnp.float32)
+    acc += jax.lax.dot_general(q1_ref[:], dl_ref[:], dn,
+                               preferred_element_type=jnp.float32)
+    _epilogue(acc, vn_ref, out_ref, metric=metric,
+              block_v=block_v, nq_pad=nq_pad, direct=direct)
+
+
+def _kernel_split(qh_ref, ql_ref, dh_ref, dl_ref, vn_ref, out_ref, *,
                   metric, block_v, nq_pad, direct=False):
     """One nv tile, fp32/f16 storage: three bf16 MXU passes over the
     pre-split (hi, lo) operands ≈ fp32 ranking (only lo·lo dropped). The
@@ -145,7 +190,7 @@ def _kernel_split(qh_ref, ql_ref, dh_ref, dl_ref, vn_ref, nt_ref, out_ref, *,
                                preferred_element_type=jnp.float32)
     acc += jax.lax.dot_general(ql_ref[:], dh_ref[:], dn,
                                preferred_element_type=jnp.float32)
-    _epilogue(acc, vn_ref, nt_ref, out_ref, metric=metric,
+    _epilogue(acc, vn_ref, out_ref, metric=metric,
               block_v=block_v, nq_pad=nq_pad, direct=direct)
 
 
@@ -158,12 +203,13 @@ def _kernel_split(qh_ref, ql_ref, dh_ref, dl_ref, vn_ref, nt_ref, out_ref, *,
 DIRECT_BV = 16384
 
 
-def _sweep_call(kernel, db_args, q_hi, q_lo, vn, nt, *, nv, d_pad, block_v,
+def _sweep_call(kernel, db_args, q_hi, q_lo, vn, *, nv, d_pad, block_v,
                 nq_pad, metric, direct, interpret, passes, row_offset=0):
     """One sweep pallas_call over rows [row_offset, row_offset+nv) of the
     FULL db operand(s). The offset rides the block index map — slicing the
     db to the covered range would make XLA materialize a copy of the whole
-    database (measured: a 256 MB slice copy tripled the sweep time)."""
+    database (measured: a 256 MB slice copy tripled the sweep time).
+    ``vn`` streams the pre-masked norms (+inf past ntotal)."""
     assert row_offset % block_v == 0, (row_offset, block_v)
     j0 = row_offset // block_v
     block_q = min(nq_pad, 128)
@@ -176,7 +222,6 @@ def _sweep_call(kernel, db_args, q_hi, q_lo, vn, nt, *, nv, d_pad, block_v,
     common = [
         pl.BlockSpec((1, block_v), lambda i, j: (0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
     if direct:
         out_spec = pl.BlockSpec((block_q, ngroups_blk), lambda i, j: (i, j),
@@ -201,13 +246,13 @@ def _sweep_call(kernel, db_args, q_hi, q_lo, vn, nt, *, nv, d_pad, block_v,
             + nq_pad * (nv // GROUP) * 4,
             transcendentals=0,
         ),
-    )(q_hi, q_lo, *db_args, vn, nt)
+    )(q_hi, q_lo, *db_args, vn)
     return out if direct else out.T
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("metric", "nv_eff", "interpret"),
+    static_argnames=("metric", "nv_eff", "interpret", "sweep_passes"),
 )
 def groupmax_scores(
     queries_f32: jax.Array,    # (nq_pad, d_pad) fp32
@@ -219,8 +264,15 @@ def groupmax_scores(
     metric: MetricType,
     nv_eff: int,
     interpret: bool = False,
+    sweep_passes: int = 2,
 ) -> jax.Array:
-    """(nq_pad, nv_eff/GROUP) per-group max of masked nomination scores."""
+    """(nq_pad, nv_eff/GROUP) per-group max of masked nomination scores.
+
+    ``sweep_passes=1``: REDUCED sweep — RNE-rounded queries instead of the
+    exact (hi, lo) query pair, cutting one MXU pass everywhere (bf16: 2→1
+    passes; fp32/f16 pair: 3→2). Nomination coarsens to ~2^-9 relative,
+    still certified by _sweep_eps(single_pass=True); integer-valued data
+    ≤256 (e.g. SIFT descriptors) rounds exactly, so nothing is lost."""
     from ..storage import split_f32_bf16
 
     nq_pad, d_pad = queries_f32.shape
@@ -233,20 +285,37 @@ def groupmax_scores(
         # direct callers without precomputed splits (tests): derive them here
         # (f16→f32 decode is exact, so the pair reproduces stored values)
         db_split = split_f32_bf16(db.astype(jnp.float32))
-    nt = jnp.asarray(ntotal, jnp.int32).reshape(1, 1)
-    q_hi, q_lo = split_f32_bf16(queries_f32)
+    nt = jnp.asarray(ntotal, jnp.int32).reshape(())
+    if sweep_passes == 1:
+        q_hi = queries_f32.astype(jnp.bfloat16)  # RNE: half the trunc error
+        q_lo = q_hi                    # unused by _kernel_q1/_kernel_split2
+        bf16_kernel, pair_kernel, npass = _kernel_q1, _kernel_split2, 1
+    else:
+        q_hi, q_lo = split_f32_bf16(queries_f32)
+        bf16_kernel, pair_kernel, npass = _kernel_qpair, _kernel_split, 2
+
+    # Pre-masked norms: +inf past ntotal (L2: s = 2·dots − vn; IP: s = dots
+    # − vn with vn 0/+inf) — moves the validity mask out of the kernels'
+    # per-tile hot loop (one (nv_eff,) select per search, ~10 µs at 1M).
+    col = jax.lax.iota(jnp.int32, nv_eff)
+    vn_raw = jax.lax.slice_in_dim(db_norms, 0, nv_eff, axis=0)
+    if metric is MetricType.L2:
+        vn_m = jnp.where(col < nt, vn_raw, jnp.inf)
+    else:
+        vn_m = jnp.where(col < nt, 0.0, jnp.inf)
 
     def vn_of(start, nv):
-        v = jax.lax.slice_in_dim(db_norms, start, start + nv, axis=0)
+        v = jax.lax.slice_in_dim(vn_m, start, start + nv, axis=0)
         return v.reshape(1, nv)
 
     if pair_sweep:
         block_v = _pick_block_v(d_pad, 4, nv_eff)
         return _sweep_call(
-            _kernel_split, (db_split[0], db_split[1]), q_hi, q_lo,
-            vn_of(0, nv_eff), nt,
+            pair_kernel, (db_split[0], db_split[1]), q_hi, q_lo,
+            vn_of(0, nv_eff),
             nv=nv_eff, d_pad=d_pad, block_v=block_v, nq_pad=nq_pad,
-            metric=metric, direct=False, interpret=interpret, passes=3)
+            metric=metric, direct=False, interpret=interpret,
+            passes=npass + 1)
 
     # bf16 native: direct-layout 16384-row tiles over the aligned prefix,
     # transposed-layout tail for the 1024-aligned remainder. The db is
@@ -255,17 +324,17 @@ def groupmax_scores(
     parts = []
     if main:
         parts.append(_sweep_call(
-            _kernel_qpair, (db,), q_hi, q_lo, vn_of(0, main), nt,
+            bf16_kernel, (db,), q_hi, q_lo, vn_of(0, main),
             nv=main, d_pad=d_pad, block_v=DIRECT_BV, nq_pad=nq_pad,
-            metric=metric, direct=True, interpret=interpret, passes=2))
+            metric=metric, direct=True, interpret=interpret,
+            passes=sweep_passes))
     tail = nv_eff - main
     if tail:
-        nt_tail = nt - main  # mask columns are tail-relative
         parts.append(_sweep_call(
-            _kernel_qpair, (db,), q_hi, q_lo, vn_of(main, tail), nt_tail,
+            bf16_kernel, (db,), q_hi, q_lo, vn_of(main, tail),
             nv=tail, d_pad=d_pad, block_v=_pick_block_v(d_pad, 2, tail),
             nq_pad=nq_pad, metric=metric, direct=False, interpret=interpret,
-            passes=2, row_offset=main))
+            passes=sweep_passes, row_offset=main))
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
 
 
@@ -273,7 +342,7 @@ SUPERGROUP = 8  # level-2 fan-in for hierarchical group selection
 
 
 def _top_groups(
-    gmax: jax.Array, kg: int, ngroups: int
+    gmax: jax.Array, kg: int, ngroups: int, approx: bool = False
 ) -> Tuple[jax.Array, jax.Array]:
     """(top-kg group ids, max gmax among NON-nominated groups) per query row.
 
@@ -281,12 +350,24 @@ def _top_groups(
     un-nominated group scores ≤ t (+sweep error). −inf when every group is
     nominated.
 
+    ``approx=True`` nominates with ``lax.approx_max_k`` (the TPU
+    PartialReduce hardware op). EXACTNESS IS PRESERVED: the threshold t is
+    still the exact max over non-nominated groups (scatter −inf + row max
+    over the true gmax), so if the approximate nomination misses a group
+    that could hold a true top-k element, t stays ≥ that group's max, the
+    certificate fails, and the caller's tiered fallback reruns exactly.
+
     For large ngroups this is hierarchical: the top-kg SUPERGROUP-blocks by
     block-max provably contain the top-kg groups (same bound as phase 1),
     and blocks/groups are id-contiguous so tie order still matches
     lax.top_k. Cuts the big top_k from ngroups to ngroups/8 lanes.
     """
     nq = gmax.shape[0]
+    if approx and kg < ngroups:
+        _, gidx = jax.lax.approx_max_k(gmax, kg, aggregate_to_topk=True)
+        masked = jnp.put_along_axis(gmax, gidx, NEG_INF, axis=-1,
+                                    inplace=False)
+        return gidx, jnp.max(masked, axis=-1)
     # Negative result (v5e, 1M rows / 8192 groups): the hierarchical path
     # measured SLOWER than one lax.top_k over 8192 lanes (1.10 vs 0.95
     # ms/batch end-to-end) — the block reduce + candidate gather outweigh
@@ -327,31 +408,21 @@ def _top_groups(
     return gidx, t
 
 
-RESCORE_GPJ = 2  # candidate groups per grid step (2 measured 2.4× faster
-#                  than 1 on v5e — two in-flight 32 KB gather DMAs per step
-#                  amortize the per-step fixed cost; 4 measured slower)
+STRIPE = 8  # queries per rescore grid step (one NQ_PAD-aligned stripe)
 
 
-def _rescore_kernel(gidx_ref, nt_ref, q0_ref, q1_ref, q2_ref, *refs,
-                    kg, gpj, metric):
-    """``gpj`` candidate groups per grid step: each group's db block arrives
-    via its own scalar-prefetched index map (hardware-pipelined gathers of
-    contiguous 32 KB group blocks), rescored with three exact-product bf16
-    dots."""
-    db_refs, vn_refs, out_ref = refs[:gpj], refs[gpj:2 * gpj], refs[-1]
-    steps_per_q = kg // gpj
-    t = pl.program_id(0)
-    i = t // steps_per_q
-    jj = t % steps_per_q
+def _rescore_kernel(gidx_ref, q0_ref, q1_ref, q2_ref, *refs, metric):
+    """One grid step = one (8-query stripe, group rank) pair: the stripe's
+    8 queries each contribute their rank-jj candidate group via 8
+    scalar-prefetched index maps (8 in-flight 32 KB gather DMAs/step).
+    Query u's scores land in out row u — every out cell is written exactly
+    once by static slices (no revisited blocks, no predication, and the
+    validity mask rides the pre-masked vn stream like the sweep's)."""
+    db_refs, vn_refs, out_ref = refs[:STRIPE], refs[STRIPE:2 * STRIPE], \
+        refs[-1]
     dn = (((1,), (1,)), ((), ()))
-    # Only row i%8 of the 8-row dot block scores THIS query's group (each
-    # query has its own candidate list). The out block is one 8-query
-    # stripe, revisited for consecutive grid steps (same block index →
-    # stays in VMEM); the stripe's first visitor (i%8 == 0) initializes
-    # each column range, later visitors accumulate their masked row.
-    rowsel = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == (i % 8)
-    for u in range(gpj):
-        g = gidx_ref[i, jj * gpj + u]
+    rows = []
+    for u in range(STRIPE):
         acc = jax.lax.dot_general(q0_ref[:], db_refs[u][:], dn,
                                   preferred_element_type=jnp.float32)
         acc += jax.lax.dot_general(q1_ref[:], db_refs[u][:], dn,
@@ -361,19 +432,9 @@ def _rescore_kernel(gidx_ref, nt_ref, q0_ref, q1_ref, q2_ref, *refs,
         if metric is MetricType.L2:
             s = 2.0 * acc - vn_refs[u][0, :][None, :]
         else:
-            s = acc
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, GROUP), 1) + g * GROUP
-        s = jnp.where(col < nt_ref[0], s, NEG_INF)
-        blk = jnp.where(rowsel, s, 0.0)
-        cslice = pl.ds((jj * gpj + u) * GROUP, GROUP)
-
-        @pl.when(i % 8 == 0)
-        def _():
-            out_ref[:, cslice] = blk
-
-        @pl.when(i % 8 != 0)
-        def _():
-            out_ref[:, cslice] += blk
+            s = acc - vn_refs[u][0, :][None, :]  # vn is 0 / +inf for IP
+        rows.append(s[u : u + 1, :])  # static row: query u of the stripe
+    out_ref[:, :] = jnp.concatenate(rows, axis=0)
 
 
 def rescore_groups_pallas(
@@ -391,59 +452,105 @@ def rescore_groups_pallas(
 
     Exactness: bf16×bf16 products are exact in fp32 and the query is split
     3-way exactly (split3_f32_bf16), so scores match an fp32 rescore. VMEM
-    holds one 8-query output stripe (8·kg·GROUP·4 B), not the whole array —
-    ADVICE r1: the previous constant-index out_spec kept (nq_pad, kg·GROUP)
-    resident and could blow the VMEM budget at large nq·k."""
+    holds one (8, GROUP) out block per step, never the whole array (ADVICE
+    r1). Grid = (stripes, kg): consecutive steps reuse the stripe's query
+    blocks; each step's 8 gather DMAs pipeline (measured r2: the previous
+    per-query grid with predicated accumulation cost 0.29 ms at kg=14,
+    nq=104 — ~5× its DMA floor — from per-group VPU/branch overhead)."""
     from ..storage import split3_f32_bf16
 
     nq_pad, d_pad = queries_f32.shape
     kg = gidx.shape[1]
-    gpj = RESCORE_GPJ if kg % RESCORE_GPJ == 0 else 1
-    steps_per_q = kg // gpj
     q0, q1, q2 = split3_f32_bf16(queries_f32)
-    vn = jax.lax.slice_in_dim(db_norms, 0, nv_eff, axis=0).reshape(1, nv_eff)
+    nt = jnp.asarray(ntotal, jnp.int32).reshape(())
+    # pre-masked norms: +inf past ntotal (0/+inf for IP) — same stream the
+    # sweep uses, so masked columns are −inf with no in-kernel iota/compare
+    col = jax.lax.iota(jnp.int32, nv_eff)
+    vn_raw = jax.lax.slice_in_dim(db_norms, 0, nv_eff, axis=0)
+    if metric is MetricType.L2:
+        vn_m = jnp.where(col < nt, vn_raw, jnp.inf)
+    else:
+        vn_m = jnp.where(col < nt, 0.0, jnp.inf)
+    vn = vn_m.reshape(1, nv_eff)
     # db passed WHOLE: gidx blocks always land below nv_eff; slicing would
     # copy the database when nv_eff < capacity
     dbs = db
 
-    def q_idx(t, gidx_ref, nt_ref):
-        return ((t // steps_per_q) // 8, 0)
+    def q_idx(i, jj, gidx_ref):
+        return (i, 0)
 
     def mk_db_idx(u):
-        def db_idx(t, gidx_ref, nt_ref):
-            return (gidx_ref[t // steps_per_q, (t % steps_per_q) * gpj + u], 0)
+        def db_idx(i, jj, gidx_ref):
+            return (gidx_ref[i * STRIPE + u, jj], 0)
         return db_idx
 
     def mk_vn_idx(u):
-        def vn_idx(t, gidx_ref, nt_ref):
-            return (0, gidx_ref[t // steps_per_q, (t % steps_per_q) * gpj + u])
+        def vn_idx(i, jj, gidx_ref):
+            return (0, gidx_ref[i * STRIPE + u, jj])
         return vn_idx
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nq_pad * steps_per_q,),
-        in_specs=[pl.BlockSpec((8, d_pad), q_idx, memory_space=pltpu.VMEM)] * 3
+        num_scalar_prefetch=1,
+        grid=(nq_pad // STRIPE, kg),
+        in_specs=[pl.BlockSpec((STRIPE, d_pad), q_idx,
+                               memory_space=pltpu.VMEM)] * 3
         + [pl.BlockSpec((GROUP, d_pad), mk_db_idx(u), memory_space=pltpu.VMEM)
-           for u in range(gpj)]
+           for u in range(STRIPE)]
         + [pl.BlockSpec((1, GROUP), mk_vn_idx(u), memory_space=pltpu.VMEM)
-           for u in range(gpj)],
+           for u in range(STRIPE)],
         out_specs=pl.BlockSpec(
-            (8, kg * GROUP), lambda t, g, n: ((t // steps_per_q) // 8, 0),
+            (STRIPE, GROUP), lambda i, jj, g: (i, jj),
             memory_space=pltpu.VMEM,
         ),
     )
-    kernel = functools.partial(_rescore_kernel, kg=kg, gpj=gpj, metric=metric)
-    args = [q0, q1, q2] + [dbs] * gpj + [vn] * gpj
+    kernel = functools.partial(_rescore_kernel, metric=metric)
+    args = [q0, q1, q2] + [dbs] * STRIPE + [vn] * STRIPE
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nq_pad, kg * GROUP), jnp.float32),
         interpret=interpret,
-    )(gidx, jnp.asarray(ntotal, jnp.int32).reshape(1), *args)
+    )(gidx, *args)
+
+
+def rescore_groups_take(
+    queries_f32: jax.Array,   # (nq_pad, d_pad) fp32
+    db: jax.Array,            # (nv_eff·…, d_pad) bf16 rows
+    db_norms: jax.Array,      # (…,) f32
+    gidx: jax.Array,          # (nq_pad, kg) int32
+    ntotal: jax.Array,        # scalar int32 (unused: caller masks by cols)
+    *,
+    metric: MetricType,
+    nv_eff: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """XLA variant of rescore_groups_pallas: contiguous group-slice gather
+    (``take`` on the group-major reshape, like the fp32 path) + ONE batched
+    bf16 dot over the stacked exact 3-way query split. Same fp32-true
+    scores; rows are read once because the three split passes ride one
+    dot_general with M=3."""
+    from ..storage import split3_f32_bf16
+
+    nq_pad, d_pad = queries_f32.shape
+    kg = gidx.shape[1]
+    db_g = db.reshape(db.shape[0] // GROUP, GROUP * d_pad)
+    rows = jnp.take(db_g, gidx.reshape(-1), axis=0)
+    rows = rows.reshape(nq_pad, kg * GROUP, d_pad)
+    q3 = jnp.stack(split3_f32_bf16(queries_f32), axis=1)  # (nq, 3, d) bf16
+    dn = (((2,), (2,)), ((0,), (0,)))
+    dots3 = jax.lax.dot_general(q3, rows, dn,
+                                preferred_element_type=jnp.float32)
+    dots = jnp.sum(dots3, axis=1)                         # (nq, kg*GROUP)
+    if metric is MetricType.L2:
+        vn_g = db_norms.reshape(db_norms.shape[0] // GROUP, GROUP)
+        vn = jnp.take(vn_g, gidx.reshape(-1), axis=0)
+        return 2.0 * dots - vn.reshape(nq_pad, kg * GROUP)
+    return dots
 
 
 def _sweep_eps(queries_f32: jax.Array, db_norms: jax.Array, nv_eff: int,
-               *, metric: MetricType, pair_sweep: bool, d_pad: int):
+               *, metric: MetricType, pair_sweep: bool, d_pad: int,
+               single_pass: bool = False):
     """Per-query rigorous upper bound ε on |nomination score − rescored
     score| for ANY database row (module docstring "EXACTNESS IS CERTIFIED").
 
@@ -460,10 +567,17 @@ def _sweep_eps(queries_f32: jax.Array, db_norms: jax.Array, nv_eff: int,
     """
     from ..storage import split_f32_bf16
 
-    qh, ql = split_f32_bf16(queries_f32)
-    resid = queries_f32 - qh.astype(jnp.float32) - ql.astype(jnp.float32)
+    if single_pass:
+        # bf16 single-pass sweep: the only query error is RNE rounding,
+        # computed exactly per query (no lo pass, no pair residual)
+        resid = queries_f32 - queries_f32.astype(jnp.bfloat16).astype(
+            jnp.float32)
+        lo32 = jnp.zeros_like(queries_f32)
+    else:
+        qh, ql = split_f32_bf16(queries_f32)
+        resid = queries_f32 - qh.astype(jnp.float32) - ql.astype(jnp.float32)
+        lo32 = ql.astype(jnp.float32)
     resid_norm = jnp.sqrt(jnp.sum(resid * resid, axis=-1))
-    lo32 = ql.astype(jnp.float32)
     lo_norm = jnp.sqrt(jnp.sum(lo32 * lo32, axis=-1))
     q_norm = jnp.sqrt(jnp.sum(queries_f32 * queries_f32, axis=-1))
     # norms are ≥ 0 and padding rows are 0, so no validity mask is needed
@@ -491,6 +605,9 @@ def fused_search(
     interpret: bool = False,
     db_split=None,             # fp32/f16 storage: (db_hi, db_lo) bf16 pair
     pair_only: bool = False,   # HBM holds ONLY the pair (db is db_hi)
+    sweep_passes: int = 2,     # bf16 storage: 1 = RNE single-pass nomination
+    rescore_take: bool = False,  # bf16: XLA take+batched-dot rescore variant
+    approx_groups: bool = False,  # phase 2 via approx_max_k (certified)
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Full fused path: kernel group-max → top groups → gather+rescore.
 
@@ -509,15 +626,14 @@ def fused_search(
     gmax = groupmax_scores(
         queries_f32, db, db_norms, ntotal, db_split,
         metric=metric, nv_eff=nv_eff, interpret=interpret,
+        sweep_passes=sweep_passes,
     )
     ngroups = nv_eff // GROUP
 
     # phase 2 — top-(k+pad) groups, id-ascending for oracle tie order; t is
     # the certificate threshold (max un-nominated group-max)
     kg = min(k_eff + GROUP_PAD, ngroups)
-    if kg % RESCORE_GPJ and kg < ngroups:
-        kg += 1  # even kg engages the 2-groups-per-step rescore
-    gidx, t = _top_groups(gmax, kg, ngroups)
+    gidx, t = _top_groups(gmax, kg, ngroups, approx=approx_groups)
     gidx = jnp.sort(gidx, axis=-1)
 
     # phase 3 — gather candidate groups and rescore exactly w.r.t. the
@@ -554,7 +670,9 @@ def fused_search(
         # gather as contiguous 32 KB block DMAs and rescores in-kernel with
         # an exact 3-way query split (fp32-true; bf16×bf16 products are
         # exact in fp32).
-        s = rescore_groups_pallas(
+        rescore = rescore_groups_take if rescore_take else \
+            rescore_groups_pallas
+        s = rescore(
             queries_f32, db, db_norms, gidx, ntotal,
             metric=metric, nv_eff=nv_eff, interpret=interpret,
         )
@@ -592,7 +710,8 @@ def fused_search(
     # non-nominated group could hold (its sweep max + ε) → provably exact.
     # −inf threshold (all groups nominated / empty shard) certifies trivially.
     eps = _sweep_eps(queries_f32, db_norms, nv_eff, metric=metric,
-                     pair_sweep=pair_sweep, d_pad=d_pad)
+                     pair_sweep=pair_sweep, d_pad=d_pad,
+                     single_pass=sweep_passes == 1)
     certified = (t == NEG_INF) | (vals[:, k_eff - 1] >= t + eps)
     return vals, ids, certified
 

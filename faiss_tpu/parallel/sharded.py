@@ -53,6 +53,7 @@ def _build_sharded_search_fn(
     use_split: bool = False,
     interpret: bool = False,
     pair_only: bool = False,
+    sweep_passes: int = 2,
 ):
     """One shard_map program: local scan+select, ICI all-gather, k-merge.
 
@@ -71,6 +72,7 @@ def _build_sharded_search_fn(
                 queries, db, norms, nt,
                 k=k_local, metric=metric, nv_eff=nv_eff, interpret=interpret,
                 db_split=split if split else None, pair_only=pair_only,
+                sweep_passes=sweep_passes,
             )
             if metric is MetricType.L2:
                 # restore the rank-invariant −‖q‖² so cross-shard scores share
@@ -395,7 +397,8 @@ class ShardedIndexFlat:
         )
         return q, nq, nq_pad
 
-    def _run_search_fn(self, q, k: int, nq_pad: int, *, force_plain: bool):
+    def _run_search_fn(self, q, k: int, nq_pad: int, *, force_plain: bool,
+                       full_sweep: bool = False):
         """Build (cached) + enqueue one sharded program for the current shape.
 
         Returns (dists, glabels, cert, use_fused)."""
@@ -415,19 +418,22 @@ class ShardedIndexFlat:
                 dtype=self.shards[0].store.dtype,
             )
         )
+        sweep_passes = 2 if full_sweep else \
+            pallas_fused.pick_sweep_passes(nq_local)
         interpret = not self.res.capabilities.is_tpu
         pair_only = self.shards[0].store.pair_only
         use_split = bool(split) and (use_fused or pair_only)
         key = ("sharded_search", self.num_shards, self.num_replicas, nv_eff,
                cap, d_pad, nq_pad, int(k), self.metric,
-               self.storage_type, chunk, use_fused, use_split, pair_only)
+               self.storage_type, chunk, use_fused, use_split, pair_only,
+               sweep_passes)
         fn = self.res.cached(
             key,
             lambda: _build_sharded_search_fn(
                 mesh=self.mesh, nv_eff=nv_eff, nq_pad=nq_local, k=int(k),
                 metric=self.metric, chunk=chunk,
                 use_fused=use_fused, use_split=use_split, interpret=interpret,
-                pair_only=pair_only,
+                pair_only=pair_only, sweep_passes=sweep_passes,
             ),
         )
         args = (db, norms, gids, ntotals, q) + (split if use_split else ())
@@ -443,10 +449,24 @@ class ShardedIndexFlat:
             q, k, nq_pad, force_plain=False)
         fallback = None
         if use_fused:
+            nq_local = nq_pad // self.num_replicas
+            reduced = pallas_fused.pick_sweep_passes(nq_local) == 1
+
             def fallback():
-                # a shard's certificate failed: re-run the batch with the
-                # exact plain local scan on every shard
+                # a shard's certificate failed. Tier 1 (reduced sweeps): the
+                # exact-pair fused sweep; tier 2: the plain local scan.
                 self.fused_fallbacks += 1
+                if reduced:
+                    d2, i2, c2, _ = self._run_search_fn(
+                        q, k, nq_pad, force_plain=False, full_sweep=True)
+                    d2, i2, c2 = jax.device_get((d2, i2, c2))
+                    if np.asarray(c2).all():
+                        return (
+                            np.ascontiguousarray(np.asarray(d2)[:nq],
+                                                 np.float32),
+                            np.ascontiguousarray(np.asarray(i2)[:nq],
+                                                 np.int64),
+                        )
                 d2, i2, _, _ = self._run_search_fn(
                     q, k, nq_pad, force_plain=True)
                 d2, i2 = jax.device_get((d2, i2))

@@ -173,7 +173,7 @@ class DeviceStore:
         self.dtype = _JNP_DTYPE[storage]
         self.device = device
         self.keep_master = bool(keep_master)
-        self.ntotal = 0
+        self._ntotal = 0
         self.capacity = 0
         self.db: Optional[jax.Array] = None       # (capacity, d_pad) self.dtype
         self.norms: Optional[jax.Array] = None    # (capacity,) f32 ‖v‖²
@@ -181,6 +181,28 @@ class DeviceStore:
         self.db_lo: Optional[jax.Array] = None
         # f32 pair-only mode: exact master rows in host RAM (unpadded)
         self._host_rows: list = []
+        self._ntotal_dev: Optional[jax.Array] = None  # cached device scalar
+
+    @property
+    def ntotal(self) -> int:
+        return self._ntotal
+
+    @ntotal.setter
+    def ntotal(self, value: int) -> None:
+        # every mutation path (add/_add_device/reset/io._add_raw) lands here —
+        # drop the cached device scalar so searches never see a stale count
+        self._ntotal = int(value)
+        self._ntotal_dev = None
+
+    @property
+    def ntotal_dev(self) -> jax.Array:
+        """ntotal as a cached device scalar: searches pass it to the jitted
+        pipeline without re-uploading an int32 every call (on a
+        remote-attached device each host→device transfer is a full RPC)."""
+        if self._ntotal_dev is None:
+            with self._ctx():
+                self._ntotal_dev = self._put(jnp.int32(self._ntotal))
+        return self._ntotal_dev
 
     @property
     def pair_only(self) -> bool:

@@ -1,0 +1,95 @@
+"""Host-side throughput tuning at the bench headline shape (real TPU).
+
+The device kernel is ~1 ms/batch but the driver-visible pipelined QPS is
+~4.2 ms/search — host/tunnel bound. Measures, head-to-head in one process:
+  * unpacked: device_get of (dists, labels, cert) — 3 result arrays
+  * packed:   one (nq_pad, 2k+2) f32 array (labels bitcast, cert padded)
+  * ntotal as cached device scalar vs np.int32 per call
+  * pipeline depth 32 vs 64
+"""
+import os, sys, time
+import concurrent.futures as cf
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np, jax, jax.numpy as jnp
+from faiss_tpu.dtypes import MetricType
+from faiss_tpu.index import _build_search_fn
+
+NV, D, NQ, K = 1_000_000, 128, 100, 10
+NQ_PAD = 104
+
+
+def main():
+    assert jax.devices()[0].platform == "tpu"
+    rng = np.random.default_rng(42)
+    nv_eff = 1_000_448
+    xb = np.pad(rng.standard_normal((NV, D), dtype=np.float32),
+                ((0, nv_eff - NV), (0, 0)))
+    xq = rng.standard_normal((NQ, D), dtype=np.float32)
+    db = jnp.asarray(xb).astype(jnp.bfloat16)
+    norms = jnp.asarray((xb ** 2).sum(1).astype(np.float32))
+    nt_dev = jnp.int32(NV)
+
+    base = _build_search_fn(nv_eff=nv_eff, d_pad=D, nq_pad=NQ_PAD, k=K,
+                            metric=MetricType.L2, use_direct=False,
+                            use_fused=True, chunk=1 << 20)
+
+    @jax.jit
+    def packed(dbx, nx, qx, ntx):
+        d, i, c = base(dbx, nx, qx, ntx)
+        return jnp.concatenate(
+            [d, jax.lax.bitcast_convert_type(i, jnp.float32),
+             c.astype(jnp.float32)[:, None]], axis=1)
+
+    def prep():
+        q = np.zeros((NQ_PAD, D), np.float32)
+        q[:NQ] = xq
+        return q
+
+    def s_unpacked(nt):
+        q = prep()
+        d, i, c = base(db, norms, q, nt)
+        d, i, c = jax.device_get((d, i, c))
+        return np.asarray(d)[:NQ], np.asarray(i)[:NQ]
+
+    def s_packed(nt):
+        q = prep()
+        out = np.asarray(jax.device_get(packed(db, norms, q, nt)))
+        d = out[:NQ, :K]
+        i = out[:NQ, K:2 * K].view(np.int32)
+        return d, i
+
+    # warm both
+    for f in (s_unpacked, s_packed):
+        f(nt_dev); f(np.int32(NV))
+    r0 = s_unpacked(nt_dev); r1 = s_packed(nt_dev)
+    np.testing.assert_array_equal(r0[1], r1[1])
+    print("parity OK", flush=True)
+
+    def tput(fn, nt, depth, n_total=192):
+        t0 = time.perf_counter()
+        with cf.ThreadPoolExecutor(max_workers=depth) as pool:
+            futs = [pool.submit(fn, nt) for _ in range(n_total)]
+            for f in futs:
+                f.result()
+        return (time.perf_counter() - t0) / n_total * 1e3
+
+    cfgs = {
+        "unpacked nt_np d32": (s_unpacked, np.int32(NV), 32),
+        "unpacked nt_dev d32": (s_unpacked, nt_dev, 32),
+        "packed nt_dev d32": (s_packed, nt_dev, 32),
+        "packed nt_dev d64": (s_packed, nt_dev, 64),
+        "packed nt_dev d16": (s_packed, nt_dev, 16),
+    }
+    res = {n: [] for n in cfgs}
+    for rep in range(4):
+        for n, (fn, nt, depth) in cfgs.items():
+            res[n].append(tput(fn, nt, depth))
+    for n in cfgs:
+        ts = sorted(res[n])
+        print(f"{n}: {ts[len(ts)//2]:.3f} ms/search "
+              f"({NQ / ts[len(ts)//2] * 1e3:.0f} QPS, min {min(ts):.3f})",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

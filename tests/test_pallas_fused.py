@@ -322,3 +322,32 @@ def test_no_fallback_on_random(monkeypatch):
     s -= (xb.astype(np.float64) ** 2).sum(1)[None, :]
     order = np.argsort(-s, axis=1, kind="stable")[:, :10]
     np.testing.assert_array_equal(np.asarray(I), order)
+
+
+@pytest.mark.parametrize("metric", [MetricType.L2, MetricType.INNER_PRODUCT])
+@pytest.mark.parametrize("kw", [
+    {"sweep_passes": 1},
+    {"rescore_take": True},
+    {"sweep_passes": 1, "rescore_take": True},
+    {"approx_groups": True},
+    {"sweep_passes": 1, "approx_groups": True},
+])
+def test_fused_variants_match_default(metric, kw):
+    """The single-pass sweep and take-based rescore variants return the same
+    ids as the default fused path (bf16 storage) and still certify on
+    random data — the certificate is what licenses the cheaper sweep."""
+    rng = np.random.default_rng(11)
+    nv, d, nq, k = 4096, 128, 8, 10
+    xb = rng.standard_normal((nv, d)).astype(np.float32)
+    db = jnp.asarray(xb).astype(jnp.bfloat16)
+    norms = _norms(jnp.asarray(xb))
+    q = jnp.asarray(rng.standard_normal((nq, d)).astype(np.float32))
+    nt = jnp.int32(nv - 37)
+    base = pallas_fused.fused_search(
+        q, db, norms, nt, k=k, metric=metric, nv_eff=nv, interpret=True)
+    v, i, c = pallas_fused.fused_search(
+        q, db, norms, nt, k=k, metric=metric, nv_eff=nv, interpret=True, **kw)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(base[1]))
+    np.testing.assert_allclose(np.asarray(v), np.asarray(base[0]),
+                               rtol=1e-5, atol=1e-5)
+    assert bool(np.asarray(c).all())
