@@ -250,6 +250,10 @@ class TpuIndexFlat:
         # observability: searches whose fused-path certificate failed and
         # were transparently re-run on the exact plain path
         self.fused_fallbacks = 0
+        # shapes (nq_pad) where the reduced single-pass sweep failed to
+        # certify on this index's data — switched to the exact-pair sweep
+        # to stop paying tier-1 reruns (cleared by reset())
+        self._no_reduced_sweep: set = set()
 
     # -- faiss-style properties ------------------------------------------------
     @property
@@ -278,6 +282,7 @@ class TpuIndexFlat:
 
     def reset(self) -> None:
         self.store.reset()
+        self._no_reduced_sweep.clear()  # new data, new margins
 
     def reconstruct(self, key: int) -> np.ndarray:
         return self.store.reconstruct(key)
@@ -338,8 +343,12 @@ class TpuIndexFlat:
                 dtype=self.store.dtype,
             )
         )
-        sweep_passes = 2 if full_sweep else \
-            pallas_fused.pick_sweep_passes(nq_pad)
+        # adaptive reduced-sweep policy: once the single-pass certificate
+        # fails at a shape (data-dependent — near-boundary margins vs the
+        # RNE error bound), stop paying the tier-1 rerun there and go
+        # straight to the exact-pair sweep for that shape
+        sweep_passes = 2 if (full_sweep or nq_pad in self._no_reduced_sweep) \
+            else pallas_fused.pick_sweep_passes(nq_pad)
         interpret = not self.res.capabilities.is_tpu
         pair_only = self.store.pair_only
         key = (
@@ -383,7 +392,8 @@ class TpuIndexFlat:
             q, k, nq_pad, force_plain=False)
         fallback = None
         if use_fused:
-            reduced = pallas_fused.pick_sweep_passes(nq_pad) == 1
+            reduced = (nq_pad not in self._no_reduced_sweep
+                       and pallas_fused.pick_sweep_passes(nq_pad) == 1)
 
             def fallback():
                 # certificate failed (near-ties at the nomination boundary).
@@ -392,6 +402,9 @@ class TpuIndexFlat:
                 # by construction.
                 self.fused_fallbacks += 1
                 if reduced:
+                    # this shape's margins don't cover the reduced sweep's
+                    # error bound on this data — use the exact pair from now
+                    self._no_reduced_sweep.add(nq_pad)
                     d2, i2, c2, _ = self._run_search_fn(
                         q, k, nq_pad, force_plain=False, full_sweep=True)
                     d2, i2, c2 = jax.device_get((d2, i2, c2))
@@ -440,7 +453,9 @@ class TpuIndexFlat:
             f"storage={self.storage_type.value}, ntotal={self.ntotal}, "
             f"capacity={self.store.capacity}, d_pad={self.store.d_pad}, "
             f"force_xla={self._force_xla}, fused_fallbacks="
-            f"{self.fused_fallbacks},\n"
+            f"{self.fused_fallbacks}, "
+            f"reduced_sweep_disabled_shapes={sorted(self._no_reduced_sweep)},"
+            f"\n"
             f"  hbm={hbm / 1e6:.1f} MB ({per:.2f} B/elem, "
             f"pair_only={self.store.pair_only}))\n" + self.res.describe()
         )

@@ -252,6 +252,8 @@ class ShardedIndexFlat:
         self.is_trained = True
         self._force_xla = False
         self.fused_fallbacks = 0  # searches re-run after a failed certificate
+        # per-shape reduced-sweep disable after a certificate failure
+        self._no_reduced_sweep: set = set()
 
     def set_force_xla(self, force: bool) -> None:
         """Force the plain-XLA local scan on every shard (≈ setForceMPS —
@@ -300,6 +302,7 @@ class ShardedIndexFlat:
         self.ntotal = 0
         self._next_shard = 0
         self._assembled = None
+        self._no_reduced_sweep.clear()
 
     def reconstruct(self, key: int) -> np.ndarray:
         """Decode one vector by global id (scans shard gid columns)."""
@@ -418,8 +421,9 @@ class ShardedIndexFlat:
                 dtype=self.shards[0].store.dtype,
             )
         )
-        sweep_passes = 2 if full_sweep else \
-            pallas_fused.pick_sweep_passes(nq_local)
+        sweep_passes = 2 if (full_sweep
+                             or nq_local in self._no_reduced_sweep) \
+            else pallas_fused.pick_sweep_passes(nq_local)
         interpret = not self.res.capabilities.is_tpu
         pair_only = self.shards[0].store.pair_only
         use_split = bool(split) and (use_fused or pair_only)
@@ -450,13 +454,16 @@ class ShardedIndexFlat:
         fallback = None
         if use_fused:
             nq_local = nq_pad // self.num_replicas
-            reduced = pallas_fused.pick_sweep_passes(nq_local) == 1
+            reduced = (nq_local not in self._no_reduced_sweep
+                       and pallas_fused.pick_sweep_passes(nq_local) == 1)
 
             def fallback():
                 # a shard's certificate failed. Tier 1 (reduced sweeps): the
                 # exact-pair fused sweep; tier 2: the plain local scan.
                 self.fused_fallbacks += 1
                 if reduced:
+                    # stop paying tier-1 reruns at this shape (see index.py)
+                    self._no_reduced_sweep.add(nq_local)
                     d2, i2, c2, _ = self._run_search_fn(
                         q, k, nq_pad, force_plain=False, full_sweep=True)
                     d2, i2, c2 = jax.device_get((d2, i2, c2))

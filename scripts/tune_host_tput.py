@@ -35,10 +35,12 @@ def main():
 
     @jax.jit
     def packed(dbx, nx, qx, ntx):
+        # pack as int32, NOT f32: small int labels bitcast to f32 are
+        # denormals and the TPU flushes them to zero
         d, i, c = base(dbx, nx, qx, ntx)
         return jnp.concatenate(
-            [d, jax.lax.bitcast_convert_type(i, jnp.float32),
-             c.astype(jnp.float32)[:, None]], axis=1)
+            [jax.lax.bitcast_convert_type(d, jnp.int32), i,
+             c.astype(jnp.int32)[:, None]], axis=1)
 
     def prep():
         q = np.zeros((NQ_PAD, D), np.float32)
@@ -53,9 +55,10 @@ def main():
 
     def s_packed(nt):
         q = prep()
-        out = np.asarray(jax.device_get(packed(db, norms, q, nt)))
-        d = out[:NQ, :K]
-        i = out[:NQ, K:2 * K].view(np.int32)
+        out = np.ascontiguousarray(
+            np.asarray(jax.device_get(packed(db, norms, q, nt)))[:NQ])
+        d = out[:, :K].view(np.float32)
+        i = out[:, K:2 * K]
         return d, i
 
     # warm both

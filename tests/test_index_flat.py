@@ -282,3 +282,21 @@ def test_concurrent_searches():
             D, I = f.result()
             np.testing.assert_array_equal(I, I0)
             np.testing.assert_array_equal(D, D0)
+
+
+def test_ntotal_dev_tracks_mutation():
+    """The cached device ntotal scalar (storage.DeviceStore.ntotal_dev —
+    saves one host→device upload per search on remote-attached devices)
+    must be invalidated by every mutation path."""
+    import faiss_tpu
+
+    idx = faiss_tpu.TpuIndexFlat(32)
+    xb = np.random.default_rng(0).standard_normal((100, 32)).astype(np.float32)
+    idx.add(xb)
+    assert int(idx.store.ntotal_dev) == 100
+    first = idx.store.ntotal_dev
+    assert idx.store.ntotal_dev is first  # cached, not re-uploaded
+    idx.add(xb[:7])
+    assert int(idx.store.ntotal_dev) == 107
+    idx.reset()
+    assert int(idx.store.ntotal_dev) == 0

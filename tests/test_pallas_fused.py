@@ -351,3 +351,57 @@ def test_fused_variants_match_default(metric, kw):
     np.testing.assert_allclose(np.asarray(v), np.asarray(base[0]),
                                rtol=1e-5, atol=1e-5)
     assert bool(np.asarray(c).all())
+
+
+def test_two_tier_fallback_on_ties(monkeypatch):
+    """nq ≥ REDUCED_SWEEP_MIN_NQ routes searches through the reduced
+    single-pass sweep; on tie-heavy data BOTH tiers' certificates fail
+    (ties are arithmetic-independent) and the result must still be the
+    exact plain top-k with lowest-id tie order."""
+    from faiss_tpu import TpuIndexFlat
+    from faiss_tpu.ops import pallas_fused as pf
+
+    monkeypatch.setattr(pf, "fused_path_eligible",
+                        lambda **kw: kw["nv_eff"] >= 8192)
+    rng = np.random.default_rng(13)
+    row = rng.standard_normal(64).astype(np.float32)
+    xb = np.tile(row, (9000, 1))
+    nq = pf.REDUCED_SWEEP_MIN_NQ  # engages pick_sweep_passes == 1
+    xq = rng.standard_normal((nq, 64)).astype(np.float32)
+    idx = TpuIndexFlat(64)
+    idx.add(xb)
+    D, I = idx.search(xq, 10)
+    assert idx.fused_fallbacks == 1
+    np.testing.assert_array_equal(I, np.tile(np.arange(10), (nq, 1)))
+
+
+def test_adaptive_reduced_sweep_disable(monkeypatch):
+    """When the reduced single-pass sweep fails to certify at a shape (its
+    RNE error bound exceeds the nomination margin — happens on some
+    data/shape combinations), the index must (a) still return the float64-
+    oracle exact result via the tiered fallback, and (b) remember the shape
+    and route subsequent searches straight to the exact-pair sweep so the
+    tier-1 rerun is paid at most once per shape."""
+    from faiss_tpu import TpuIndexFlat
+    from faiss_tpu.ops import pallas_fused as pf
+
+    monkeypatch.setattr(pf, "fused_path_eligible",
+                        lambda **kw: kw["nv_eff"] >= 8192)
+    nq = pf.REDUCED_SWEEP_MIN_NQ
+    xb, xq = make_data(16384, nq, 64)  # margins here fail the 1-pass bound
+    idx = TpuIndexFlat(64)
+    idx.add(xb)
+    s = 2 * (xq.astype(np.float64) @ xb.astype(np.float64).T)
+    s -= (xb.astype(np.float64) ** 2).sum(1)[None, :]
+    order = np.argsort(-s, axis=1, kind="stable")[:, :10]
+
+    D, I = idx.search(xq, 10)
+    np.testing.assert_array_equal(np.asarray(I), order)  # exact regardless
+    first = idx.fused_fallbacks
+    D2, I2 = idx.search(xq, 10)
+    np.testing.assert_array_equal(np.asarray(I2), order)
+    if first:  # reduced sweep didn't certify → shape must now be pinned
+        assert idx._no_reduced_sweep
+        assert idx.fused_fallbacks == first  # no second rerun
+    idx.reset()
+    assert not idx._no_reduced_sweep
