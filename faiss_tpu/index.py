@@ -100,11 +100,14 @@ def _build_search_fn(
             # storage `split` carries the precomputed bf16 (hi, lo) pair.
             # `cert` proves per-query exactness; uncertified queries are
             # re-run on the plain path by TpuSearchToken.wait().
+            # split is (hi, lo, split_stats) for fp32/f16 storage — the
+            # stats are the exact v-side maxima the certificate uses
             vals, ids, cert = pallas_fused.fused_search(
                 queries, db, norms, ntotal,
                 k=k, metric=metric, nv_eff=nv_eff, interpret=interpret,
-                db_split=split if split else None, pair_only=pair_only,
+                db_split=split[:2] if split else None, pair_only=pair_only,
                 sweep_passes=sweep_passes,
+                split_stats=split[2] if split else None,
             )
             if metric is MetricType.L2:
                 # kernel scores omit the rank-invariant −‖q‖² term; restore it
@@ -374,7 +377,8 @@ class TpuIndexFlat:
         )
         split = ()
         if self.store.db_hi is not None and (use_fused or pair_only):
-            split = (self.store.db_hi, self.store.db_lo)
+            split = (self.store.db_hi, self.store.db_lo,
+                     self.store.split_stats)
         db_arg = self.store.db if self.store.db is not None else self.store.db_hi
         return fn(
             db_arg, self.store.norms, q, self.store.ntotal_dev,

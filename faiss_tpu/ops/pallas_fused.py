@@ -550,26 +550,30 @@ def rescore_groups_take(
 
 def _sweep_eps(queries_f32: jax.Array, db_norms: jax.Array, nv_eff: int,
                *, metric: MetricType, pair_sweep: bool, d_pad: int,
-               single_pass: bool = False):
+               single_pass: bool = False, split_stats=None):
     """Per-query rigorous upper bound ε on |nomination score − rescored
     score| for ANY database row (module docstring "EXACTNESS IS CERTIFIED").
 
     Derivation (dot = q·v; hats = the sweep's operand splits):
       sweep dot error ≤ ‖q − q_hi − q_lo‖·max‖v‖          (query residual,
                                                            computed exactly)
-                      + [pair] ‖q_lo‖·2^-7·max‖v‖          (dropped lo·lo;
-                                                           ‖v_lo‖ ≤ 2^-7‖v‖)
-                      + [pair] ‖q‖·2^-15·max‖v‖            (v-pair residual)
-      accumulation    + 8·d·2^-24·‖q‖·max‖v‖               (both sides' fp32
-                                                           sum reordering)
+                      + [pair] ‖q_lo‖·max‖v_lo‖            (dropped lo·lo)
+                      + [pair] ‖q‖·max‖v − v_hi − v_lo‖    (v-pair residual)
+      accumulation    + 2·d·2^-24·‖q‖·max‖v‖               (per-dot fp32
+                        running-sum error ≤ (d−1)·2^-24·‖q‖‖v‖, both sides)
+    The two [pair] v-side maxima come from ``split_stats`` — EXACT running
+    statistics over the stored rows (storage._split_stats_fn). On integer-
+    valued data (SIFT descriptors) both are 0 — the generic fallbacks
+    (‖v_lo‖ ≤ 2^-7‖v‖, residual ≤ 2^-15‖v‖, used when stats aren't
+    supplied) were so loose there that every large-k certificate failed.
     L2 scores are 2·dot − ‖v‖² with ‖v‖² bit-identical on both sides → ×2.
     A final ×2 safety factor covers second-order cross terms.
     """
     from ..storage import split_f32_bf16
 
     if single_pass:
-        # bf16 single-pass sweep: the only query error is RNE rounding,
-        # computed exactly per query (no lo pass, no pair residual)
+        # single-pass sweeps use RNE-rounded queries: the only query error
+        # is RNE rounding, computed exactly per query (no lo pass)
         resid = queries_f32 - queries_f32.astype(jnp.bfloat16).astype(
             jnp.float32)
         lo32 = jnp.zeros_like(queries_f32)
@@ -583,11 +587,13 @@ def _sweep_eps(queries_f32: jax.Array, db_norms: jax.Array, nv_eff: int,
     # norms are ≥ 0 and padding rows are 0, so no validity mask is needed
     vmax = jnp.sqrt(jnp.max(
         jax.lax.slice_in_dim(db_norms, 0, nv_eff, axis=0)))
-    rel = (8.0 * d_pad) * 2.0 ** -24
-    eps = resid_norm + rel * q_norm
+    rel = (2.0 * d_pad) * 2.0 ** -24
+    eps = (resid_norm + rel * q_norm) * vmax
     if pair_sweep:
-        eps = eps + _LO_REL * lo_norm + _RESID_REL * q_norm
-    eps = eps * vmax
+        if split_stats is not None:
+            eps = eps + lo_norm * split_stats[0] + q_norm * split_stats[1]
+        else:
+            eps = eps + (_LO_REL * lo_norm + _RESID_REL * q_norm) * vmax
     if metric is MetricType.L2:
         eps = 2.0 * eps
     return 2.0 * eps  # safety factor
@@ -608,6 +614,7 @@ def fused_search(
     sweep_passes: int = 2,     # bf16 storage: 1 = RNE single-pass nomination
     rescore_take: bool = False,  # bf16: XLA take+batched-dot rescore variant
     approx_groups: bool = False,  # phase 2 via approx_max_k (certified)
+    split_stats=None,          # (2,) f32 exact v-side split maxima (storage)
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Full fused path: kernel group-max → top groups → gather+rescore.
 
@@ -711,7 +718,8 @@ def fused_search(
     # −inf threshold (all groups nominated / empty shard) certifies trivially.
     eps = _sweep_eps(queries_f32, db_norms, nv_eff, metric=metric,
                      pair_sweep=pair_sweep, d_pad=d_pad,
-                     single_pass=sweep_passes == 1)
+                     single_pass=sweep_passes == 1,
+                     split_stats=split_stats)
     certified = (t == NEG_INF) | (vals[:, k_eff - 1] >= t + eps)
     return vals, ids, certified
 

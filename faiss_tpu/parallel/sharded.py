@@ -68,11 +68,14 @@ def _build_sharded_search_fn(
         nt = ntotal_local[0]
 
         def local_fused():
+            # split is (hi, lo, stats) — stats is this shard's (1, 2) slice
+            # of the exact v-side split maxima (certificate bounds)
             vals, ids, cert = pallas_fused.fused_search(
                 queries, db, norms, nt,
                 k=k_local, metric=metric, nv_eff=nv_eff, interpret=interpret,
-                db_split=split if split else None, pair_only=pair_only,
+                db_split=split[:2] if split else None, pair_only=pair_only,
                 sweep_passes=sweep_passes,
+                split_stats=split[2][0] if split else None,
             )
             if metric is MetricType.L2:
                 # restore the rank-invariant −‖q‖² so cross-shard scores share
@@ -154,7 +157,7 @@ def _build_sharded_search_fn(
     # replicated over shards.
     in_specs = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(REPLICA_AXIS))
     if use_split:
-        in_specs = in_specs + (P(AXIS), P(AXIS))
+        in_specs = in_specs + (P(AXIS), P(AXIS), P(AXIS, None))
     fn = jax.shard_map(
         per_device,
         mesh=mesh,
@@ -365,9 +368,28 @@ class ShardedIndexFlat:
         )
         split = ()
         if self.shards[0].store.db_hi is not None:  # fp32/f16 storage
+            def stats_piece(s):
+                # empty shards have no stats yet — zeros are the exact maxima
+                with jax.default_device(s.device):
+                    st = s.store.split_stats
+                    if st is None:
+                        st = jnp.zeros((2,), jnp.float32)
+                    return st.reshape(1, 2)
+
+            pieces = []
+            for r in range(self.num_replicas):
+                for i, s in enumerate(self.shards):
+                    piece = stats_piece(s)
+                    if r != 0:
+                        piece = jax.device_put(piece, dev_grid[r][i])
+                    pieces.append(piece)
+            stats = jax.make_array_from_single_device_arrays(
+                (p, 2), NamedSharding(self.mesh, P(AXIS, None)), pieces
+            )
             split = (
                 global_arr([s.store.db_hi for s in self.shards], (d_pad,)),
                 global_arr([s.store.db_lo for s in self.shards], (d_pad,)),
+                stats,
             )
         if self.shards[0].store.db is not None:
             db = global_arr([s.store.db for s in self.shards], (d_pad,))

@@ -122,6 +122,25 @@ def _append_norms_fn(norms, new_norms, offset):
 _append_norms_jit = jax.jit(_append_norms_fn, donate_argnums=(0,))
 
 
+@jax.jit
+def _split_stats_fn(old, vecs32, hi, lo):
+    """Running (2,) f32 [max‖v_lo‖, max‖v − hi − lo‖] over all stored rows.
+
+    These are the EXACT data-dependent bounds the fused path's certificate
+    uses for the pair sweep's dropped lo·lo term and the v-pair residual
+    (pallas_fused._sweep_eps) — the generic 2^-7/2^-15·max‖v‖ envelopes are
+    wildly loose on integer-valued data (e.g. SIFT descriptors split
+    exactly: both maxima are 0), where they made every large-k certificate
+    fail and forced plain-path reruns."""
+    lo32 = lo.astype(jnp.float32)
+    resid = vecs32 - hi.astype(jnp.float32) - lo32
+    batch = jnp.stack([
+        jnp.max(jnp.sqrt(jnp.sum(lo32 * lo32, axis=-1))),
+        jnp.max(jnp.sqrt(jnp.sum(resid * resid, axis=-1))),
+    ])
+    return jnp.maximum(old, batch)
+
+
 def _grow_fn(old_db, old_norms, new_capacity: int):
     db = jnp.zeros((new_capacity, old_db.shape[1]), old_db.dtype)
     norms = jnp.zeros((new_capacity,), jnp.float32)
@@ -182,6 +201,9 @@ class DeviceStore:
         # f32 pair-only mode: exact master rows in host RAM (unpadded)
         self._host_rows: list = []
         self._ntotal_dev: Optional[jax.Array] = None  # cached device scalar
+        # (2,) f32 [max‖v_lo‖, max‖v−hi−lo‖] over stored rows (split modes
+        # only) — exact certificate bounds, see _split_stats_fn
+        self.split_stats: Optional[jax.Array] = None
 
     @property
     def ntotal(self) -> int:
@@ -284,9 +306,13 @@ class DeviceStore:
         exactly into the bf16 pair, so hi+lo reproduces the stored value)."""
         if not self._has_split:
             return
-        hi, lo = split_f32_bf16(vecs.astype(jnp.float32))
+        v32 = vecs.astype(jnp.float32)
+        hi, lo = split_f32_bf16(v32)
         self.db_hi = _append1_jit(self.db_hi, hi, offset)
         self.db_lo = _append1_jit(self.db_lo, lo, offset)
+        if self.split_stats is None:
+            self.split_stats = self._put(jnp.zeros((2,), jnp.float32))
+        self.split_stats = _split_stats_fn(self.split_stats, v32, hi, lo)
 
     def pad_queries(self, q: jax.Array) -> jax.Array:
         """Pad (nq, d) fp32 queries to (nq, d_pad)."""
@@ -393,6 +419,7 @@ class DeviceStore:
         self.db_hi = None
         self.db_lo = None
         self._host_rows = []
+        self.split_stats = None
         self.ntotal = 0
         self.capacity = 0
 

@@ -405,3 +405,31 @@ def test_adaptive_reduced_sweep_disable(monkeypatch):
         assert idx.fused_fallbacks == first  # no second rerun
     idx.reset()
     assert not idx._no_reduced_sweep
+
+
+def test_certificate_integer_data_large_k(monkeypatch):
+    """SIFT regression: fp32 storage, integer-valued vectors (bf16 splits
+    are EXACT: v_lo = 0, residual = 0), k near its gather budget. The
+    certificate must pass via the stored exact split statistics
+    (storage.split_stats) — the generic 2^-7/2^-15·max‖v‖ envelopes are so
+    loose here that every search fell back to the plain path (observed on
+    the synthesized SIFT1M file: 78 fallbacks, 10× QPS loss)."""
+    from faiss_tpu import TpuIndexFlat
+    from faiss_tpu.ops import pallas_fused as pf
+
+    monkeypatch.setattr(pf, "fused_path_eligible",
+                        lambda **kw: kw["nv_eff"] >= 8192)
+    rng = np.random.default_rng(3)
+    xb = np.minimum(np.floor(rng.gamma(0.55, 48.0, (16384, 64))),
+                    218.0).astype(np.float32)
+    xq = np.minimum(np.floor(rng.gamma(0.55, 48.0, (8, 64))),
+                    218.0).astype(np.float32)
+    idx = TpuIndexFlat(64)
+    idx.add(xb)
+    assert np.asarray(idx.store.split_stats).max() == 0.0  # ints split exact
+    D, I = idx.search(xq, 100)
+    assert idx.fused_fallbacks == 0, "certificate must hold on integer data"
+    s = 2 * (xq.astype(np.float64) @ xb.astype(np.float64).T)
+    s -= (xb.astype(np.float64) ** 2).sum(1)[None, :]
+    order = np.argsort(-s, axis=1, kind="stable")[:, :100]
+    np.testing.assert_array_equal(np.asarray(I), order)
