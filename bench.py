@@ -48,6 +48,8 @@ for storage in ("f32", "bf16"):   # one process = one device claim for both
     print("RESULT " + json.dumps({
         "storage": storage, "qps": NQ / (pipe / 1e3), "latency_ms": lat,
         "pipelined_ms": pipe, "recall": recall, "add_s": add_s,
+        "fallbacks": idx.fused_fallbacks,
+        "reduced_pinned": sorted(idx._no_reduced_sweep),
     }), flush=True)
     del idx
 """

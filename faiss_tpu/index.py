@@ -350,8 +350,9 @@ class TpuIndexFlat:
         # fails at a shape (data-dependent — near-boundary margins vs the
         # RNE error bound), stop paying the tier-1 rerun there and go
         # straight to the exact-pair sweep for that shape
+        pair_storage = self.store.dtype != jnp.bfloat16
         sweep_passes = 2 if (full_sweep or nq_pad in self._no_reduced_sweep) \
-            else pallas_fused.pick_sweep_passes(nq_pad)
+            else pallas_fused.pick_sweep_passes(nq_pad, pair_storage)
         interpret = not self.res.capabilities.is_tpu
         pair_only = self.store.pair_only
         key = (
@@ -397,7 +398,8 @@ class TpuIndexFlat:
         fallback = None
         if use_fused:
             reduced = (nq_pad not in self._no_reduced_sweep
-                       and pallas_fused.pick_sweep_passes(nq_pad) == 1)
+                       and pallas_fused.pick_sweep_passes(
+                           nq_pad, self.store.dtype != jnp.bfloat16) == 1)
 
             def fallback():
                 # certificate failed (near-ties at the nomination boundary).

@@ -70,16 +70,20 @@ NEG_INF = float("-inf")
 FUSED_MIN_NV = 8192             # below this the plain XLA path is already tiny
 # At nq_pad below this the sweep is HBM-bound and the extra exact-pair MXU
 # pass is free; above it the sweep is at the MXU/DMA roofline crossover and
-# the REDUCED single-query-operand sweep (sweep_passes=1) wins ~0.15 ms at
-# 1M×128 (measured v5e r2). Exactness is unchanged: reduced nomination is
-# covered by the runtime certificate + the two-tier fallback (full-precision
+# the REDUCED single-query-operand sweep (sweep_passes=1) wins measurably —
+# bf16 storage only: 0.80 → 0.71 ms at 1M×128, 5.54 → 4.21 ms at 10M×128
+# (v5e r2). For fp32/f16 pair storage dropping the third pass measured NO
+# win (1.57 vs 1.60 ms — the pair sweep is DMA-bound on 4 B/elem), so pair
+# storage always runs the exact split. Exactness of the reduced sweep is
+# covered by the runtime certificate + the two-tier fallback (exact-pair
 # fused, then plain) in index.py/sharded.py.
 REDUCED_SWEEP_MIN_NQ = 32
 
 
-def pick_sweep_passes(nq_pad: int) -> int:
-    """Dispatch: 1 (reduced, certified) at large nq, else 2 (exact pair)."""
-    return 1 if nq_pad >= REDUCED_SWEEP_MIN_NQ else 2
+def pick_sweep_passes(nq_pad: int, pair_storage: bool = False) -> int:
+    """Dispatch: 1 (reduced, certified) for large-nq bf16 sweeps, else the
+    exact pair (2). Pair storage (fp32/f16) never reduces — no measured win."""
+    return 1 if (nq_pad >= REDUCED_SWEEP_MIN_NQ and not pair_storage) else 2
 FUSED_GATHER_BUDGET = 1 << 30    # hard cap on phase-3 gather materialization
 # Cost-model coefficients, in bytes-of-HBM-traffic-equivalent per element
 # (anchored on v5e measurements, 2026-08: plain materializes the nq×nv fp32

@@ -443,9 +443,10 @@ class ShardedIndexFlat:
                 dtype=self.shards[0].store.dtype,
             )
         )
+        pair_storage = self.shards[0].store.dtype != jnp.bfloat16
         sweep_passes = 2 if (full_sweep
                              or nq_local in self._no_reduced_sweep) \
-            else pallas_fused.pick_sweep_passes(nq_local)
+            else pallas_fused.pick_sweep_passes(nq_local, pair_storage)
         interpret = not self.res.capabilities.is_tpu
         pair_only = self.shards[0].store.pair_only
         use_split = bool(split) and (use_fused or pair_only)
@@ -477,7 +478,9 @@ class ShardedIndexFlat:
         if use_fused:
             nq_local = nq_pad // self.num_replicas
             reduced = (nq_local not in self._no_reduced_sweep
-                       and pallas_fused.pick_sweep_passes(nq_local) == 1)
+                       and pallas_fused.pick_sweep_passes(
+                           nq_local,
+                           self.shards[0].store.dtype != jnp.bfloat16) == 1)
 
             def fallback():
                 # a shard's certificate failed. Tier 1 (reduced sweeps): the

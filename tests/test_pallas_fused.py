@@ -368,7 +368,7 @@ def test_two_tier_fallback_on_ties(monkeypatch):
     xb = np.tile(row, (9000, 1))
     nq = pf.REDUCED_SWEEP_MIN_NQ  # engages pick_sweep_passes == 1
     xq = rng.standard_normal((nq, 64)).astype(np.float32)
-    idx = TpuIndexFlat(64)
+    idx = TpuIndexFlat(64, storage="bf16")  # bf16: the only reduced storage
     idx.add(xb)
     D, I = idx.search(xq, 10)
     assert idx.fused_fallbacks == 1
@@ -389,11 +389,15 @@ def test_adaptive_reduced_sweep_disable(monkeypatch):
                         lambda **kw: kw["nv_eff"] >= 8192)
     nq = pf.REDUCED_SWEEP_MIN_NQ
     xb, xq = make_data(16384, nq, 64)  # margins here fail the 1-pass bound
-    idx = TpuIndexFlat(64)
+    idx = TpuIndexFlat(64, storage="bf16")  # bf16: the only reduced storage
     idx.add(xb)
-    s = 2 * (xq.astype(np.float64) @ xb.astype(np.float64).T)
-    s -= (xb.astype(np.float64) ** 2).sum(1)[None, :]
-    order = np.argsort(-s, axis=1, kind="stable")[:, :10]
+    # oracle = the plain XLA path on an identical index (bf16 ranks by
+    # 2·q·v_q − ‖v‖²_prequant; a numpy f64 oracle can't reproduce its exact
+    # fp32 scoring at tie granularity, but plain-vs-fused must agree bit-for-bit)
+    ref = TpuIndexFlat(64, storage="bf16")
+    ref.add(xb)
+    ref.set_force_xla(True)
+    _, order = ref.search(xq, 10)
 
     D, I = idx.search(xq, 10)
     np.testing.assert_array_equal(np.asarray(I), order)  # exact regardless
