@@ -19,11 +19,19 @@ import numpy as np
 
 
 class StorageType(enum.Enum):
-    """On-device vector storage precision. Queries/accumulation remain fp32."""
+    """On-device vector storage precision. Queries/accumulation remain fp32.
+
+    INT8 goes beyond the reference's Float32/Float16/BFloat16 set
+    (MetalIndexFlat.h:39-43): 1 B/element HBM with per-dimension symmetric
+    scales (faiss ScalarQuantizer QT_8bit analog, TPU-native — the int8
+    nomination dot runs on the MXU at 2× bf16 throughput and is EXACT in
+    int32, so the runtime exactness certificate still applies). Requires
+    train() (or auto-trains on the first add batch)."""
 
     FLOAT32 = "float32"
     FLOAT16 = "float16"
     BFLOAT16 = "bfloat16"
+    INT8 = "int8"
 
     @classmethod
     def coerce(cls, v) -> "StorageType":
@@ -35,6 +43,7 @@ class StorageType(enum.Enum):
             "float16": cls.FLOAT16, "f16": cls.FLOAT16, "fp16": cls.FLOAT16,
             "half": cls.FLOAT16,
             "bfloat16": cls.BFLOAT16, "bf16": cls.BFLOAT16,
+            "int8": cls.INT8, "i8": cls.INT8, "qint8": cls.INT8,
         }
         try:
             return aliases[s]

@@ -67,6 +67,7 @@ def _build_search_fn(
     interpret: bool = False,
     pair_only: bool = False,
     sweep_passes: int = 2,
+    int8: bool = False,
 ):
     """Compile one search pipeline for a static (nv_eff, nq_pad, k) shape.
 
@@ -101,13 +102,17 @@ def _build_search_fn(
             # `cert` proves per-query exactness; uncertified queries are
             # re-run on the plain path by TpuSearchToken.wait().
             # split is (hi, lo, split_stats) for fp32/f16 storage — the
-            # stats are the exact v-side maxima the certificate uses
+            # stats are the exact v-side maxima the certificate uses —
+            # or (scales, int_norm_max) for int8 storage
             vals, ids, cert = pallas_fused.fused_search(
                 queries, db, norms, ntotal,
                 k=k, metric=metric, nv_eff=nv_eff, interpret=interpret,
-                db_split=split[:2] if split else None, pair_only=pair_only,
+                db_split=None if int8 or not split else split[:2],
+                pair_only=pair_only,
                 sweep_passes=sweep_passes,
-                split_stats=split[2] if split else None,
+                split_stats=None if int8 or not split else split[2],
+                scales=split[0] if int8 else None,
+                int_norm_max=split[1] if int8 else None,
             )
             if metric is MetricType.L2:
                 # kernel scores omit the rank-invariant −‖q‖² term; restore it
@@ -119,7 +124,10 @@ def _build_search_fn(
             """(nq_pad, width) scores for db rows [start, start+width),
             padding/invalid columns −inf. `start` may be traced."""
             ns = jax.lax.dynamic_slice_in_dim(norms, start, width, axis=0)
-            if pair_only:
+            if int8:
+                dbs = jax.lax.dynamic_slice_in_dim(db, start, width, axis=0)
+                s = dist_ops.int8_scores(queries, split[0], dbs, ns, metric)
+            elif pair_only:
                 dh = jax.lax.dynamic_slice_in_dim(split[0], start, width, axis=0)
                 dl = jax.lax.dynamic_slice_in_dim(split[1], start, width, axis=0)
                 if use_direct and metric is MetricType.L2:
@@ -248,7 +256,6 @@ class TpuIndexFlat:
             d, self.storage_type, self.metric,
             device=self.res.default_device, keep_master=keep_master,
         )
-        self.is_trained = True  # flat indexes need no training (faiss parity)
         self._force_xla = False
         # observability: searches whose fused-path certificate failed and
         # were transparently re-run on the exact plain path
@@ -266,6 +273,18 @@ class TpuIndexFlat:
     @property
     def ntotal(self) -> int:
         return self.store.ntotal
+
+    @property
+    def is_trained(self) -> bool:
+        """Flat float storage needs no training (faiss IndexFlat parity);
+        int8 storage is trained once its quantization scales are frozen
+        (explicit train() or auto-train on the first add batch)."""
+        return self.store.is_trained
+
+    def train(self, x: np.ndarray) -> None:
+        """Freeze int8 per-dimension scales from a sample (no-op for float
+        storage, like faiss IndexFlat::train)."""
+        self.store.train(x)
 
     def is_float16_storage(self) -> bool:
         return self.storage_type is StorageType.FLOAT16
@@ -330,8 +349,10 @@ class TpuIndexFlat:
         two-tier certificate fallback before resorting to the plain path)."""
         nv_eff = _round_up(self.ntotal, ROW_TILE)
         tuning = self.tuning
+        is_int8 = self.storage_type is StorageType.INT8
         use_direct = (
             self.metric is MetricType.L2
+            and not is_int8
             and nv_eff <= dist_ops.DIRECT_PATH_MAX_NV * 4
             and nq_pad * nv_eff * self.store.d_pad <= DIRECT_PATH_MAX_ELEMS
         )
@@ -374,10 +395,13 @@ class TpuIndexFlat:
                 interpret=interpret,
                 pair_only=pair_only,
                 sweep_passes=sweep_passes,
+                int8=is_int8,
             ),
         )
         split = ()
-        if self.store.db_hi is not None and (use_fused or pair_only):
+        if is_int8:
+            split = (self.store.scales, self.store.int_norm_max)
+        elif self.store.db_hi is not None and (use_fused or pair_only):
             split = (self.store.db_hi, self.store.db_lo,
                      self.store.split_stats)
         db_arg = self.store.db if self.store.db is not None else self.store.db_hi

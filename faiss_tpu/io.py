@@ -38,8 +38,8 @@ def _raw_bits(store, nt: int) -> np.ndarray:
     d = store.d
     if store.db is not None:
         a = np.asarray(jax.device_get(store.db))[:nt, :d]
-        if a.dtype == np.float32:
-            return a
+        if a.dtype in (np.float32, np.int8):
+            return a  # exact bits as-is (int8: the quantized codes)
         return a.view(np.uint16)  # bf16/f16 bit pattern (numpy has no bf16)
     rows = store._master_rows(0, nt)  # exact fp32 decode
     if store.storage is StorageType.FLOAT32:
@@ -83,7 +83,13 @@ def save_index(index: Union[TpuIndexFlat, ShardedIndexFlat], path: str) -> None:
         else:
             vec = np.zeros((0, index.d), np.float32)
             nrm = np.zeros((0,), np.float32)
-    np.savez_compressed(path, meta=json.dumps(meta), vectors=vec, norms=nrm)
+    extra = {}
+    if index.storage_type is StorageType.INT8:
+        st = (index.store if isinstance(index, TpuIndexFlat)
+              else index.shards[0].store)
+        extra["scales"] = np.asarray(jax.device_get(st.scales), np.float32)
+    np.savez_compressed(path, meta=json.dumps(meta), vectors=vec, norms=nrm,
+                        **extra)
 
 
 def load_index(path: str, sharded: bool = False, resources=None,
@@ -95,6 +101,7 @@ def load_index(path: str, sharded: bool = False, resources=None,
         meta = json.loads(str(z["meta"]))
         vec = z["vectors"]
         nrm = z["norms"]
+        z_scales = z["scales"] if "scales" in z.files else None
     if meta["format"] != _FORMAT_VERSION:
         raise ValueError(f"unsupported index format {meta['format']}")
     metric = MetricType.coerce(meta["metric"])
@@ -102,10 +109,24 @@ def load_index(path: str, sharded: bool = False, resources=None,
     cls = ShardedIndexFlat if sharded else TpuIndexFlat
     idx = cls(meta["d"], metric=metric, storage=storage, resources=resources,
               keep_master=keep_master)
+    if storage is StorageType.INT8:
+        # restore the frozen scales exactly, then the quantized codes
+        scales = np.asarray(z_scales, np.float32)
+        stores = ([idx.store] if not sharded
+                  else [s.store for s in idx.shards])
+        for st in stores:
+            sp = np.ones((st.d_pad,), np.float32)
+            sp[: st.d] = scales[: st.d]
+            with st._ctx():
+                st.scales = st._put(sp)
+            st._trained = True
     if meta["ntotal"] == 0:
         return idx
     if storage is StorageType.FLOAT32:
         idx.add(vec)
+        return idx
+    if storage is StorageType.INT8:
+        _add_raw(idx, vec.astype(np.int8), nrm)
         return idx
     # reduced precision: restore the exact bits + the original fp32 norms,
     # bypassing re-quantization
@@ -134,6 +155,10 @@ def _add_raw(idx, rows: np.ndarray, norms: np.ndarray) -> None:
             vecs = store._put(np.ascontiguousarray(x))
             nj = store._put(np.asarray(norms, np.float32))
             store._append(vecs, nj)  # pair-aware (storage modes)
+            if rows.dtype == np.int8:
+                qn = np.sqrt(
+                    (rows.astype(np.float32) ** 2).sum(axis=1).max())
+                store._bump_int_norm(store._put(np.float32(qn)))
         store.ntotal += rows.shape[0]
         return store.capacity != old_cap
 

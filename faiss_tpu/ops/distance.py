@@ -123,6 +123,35 @@ def pair_scores(
     return 2.0 * dots - q_norms[:, None] - db_norms[None, :]
 
 
+def int8_scores(
+    queries: jax.Array,           # (nq, d) fp32
+    scales: jax.Array,            # (d,) fp32 per-dim quantization scales
+    vq: jax.Array,                # (nv, d) int8 quantized rows
+    db_norms: jax.Array,          # (nv,) fp32 ‖v̂‖² of the DECODED rows
+    metric: MetricType,
+) -> jax.Array:
+    """(nq, nv) fp32-true scores against the decoded int8 database.
+
+    q·v̂ = q·(s∘v_q) = (q∘s)·v_q: the query side absorbs the scales, the
+    int8 rows cast to bf16 EXACTLY (|v_q| ≤ 127), and the exact 3-way
+    split of q∘s makes the dot fp32-true — the same arithmetic class as
+    the fused path's in-kernel rescore, so plain and fused agree."""
+    from ..storage import split3_f32_bf16
+
+    qs = queries * scales[None, :]
+    vb = vq.astype(jnp.bfloat16)
+    dn = (((1,), (1,)), ((), ()))
+    dots = None
+    for q_part in split3_f32_bf16(qs):
+        d_part = jax.lax.dot_general(q_part, vb, dn,
+                                     preferred_element_type=jnp.float32)
+        dots = d_part if dots is None else dots + d_part
+    if metric is MetricType.INNER_PRODUCT:
+        return dots
+    q_norms = l2norm.l2_norm_squared(queries)
+    return 2.0 * dots - q_norms[:, None] - db_norms[None, :]
+
+
 def direct_l2_scores(queries: jax.Array, db: jax.Array) -> jax.Array:
     """Exact per-pair −‖q−v‖², materializing (nq, nv, d) differences.
 

@@ -178,6 +178,26 @@ def _kernel_split2(q1_ref, _unused_ref, dh_ref, dl_ref, vn_ref, out_ref, *,
               block_v=block_v, nq_pad=nq_pad, direct=direct)
 
 
+def _kernel_int8(q1_ref, q2_ref, db_ref, vn_ref, beta_ref, out_ref, *,
+                 metric, block_v, nq_pad, direct=False):
+    """One nv tile, int8 storage: TWO int8×int8 MXU passes over the
+    residual expansion qs ≈ β₁·q₁ + β₂·q₂ (q₂ quantizes the first pass's
+    residual — the int8 analog of the bf16 hi/lo pair). Each int32 dot is
+    EXACT and int8 MACs run at 2× bf16 MXU rate, so both passes together
+    cost one bf16 pass while the nomination error drops from ~2^-6.6 to
+    ~2^-12 relative — enough for real margins at 1M rows (single-pass int8
+    measured cert-rate ≈ 0 there). ``beta_ref`` cols 0/1 carry β₁/β₂."""
+    dn = (((1,), (1,)), ((), ()))
+    a1 = jax.lax.dot_general(q1_ref[:], db_ref[:], dn,
+                             preferred_element_type=jnp.int32)
+    a2 = jax.lax.dot_general(q2_ref[:], db_ref[:], dn,
+                             preferred_element_type=jnp.int32)
+    dots = (a1.astype(jnp.float32) * beta_ref[:, 0:1]
+            + a2.astype(jnp.float32) * beta_ref[:, 1:2])
+    _epilogue(dots, vn_ref, out_ref, metric=metric,
+              block_v=block_v, nq_pad=nq_pad, direct=direct)
+
+
 def _kernel_split(qh_ref, ql_ref, dh_ref, dl_ref, vn_ref, out_ref, *,
                   metric, block_v, nq_pad, direct=False):
     """One nv tile, fp32/f16 storage: three bf16 MXU passes over the
@@ -208,7 +228,8 @@ DIRECT_BV = 16384
 
 
 def _sweep_call(kernel, db_args, q_hi, q_lo, vn, *, nv, d_pad, block_v,
-                nq_pad, metric, direct, interpret, passes, row_offset=0):
+                nq_pad, metric, direct, interpret, passes, row_offset=0,
+                db_itemsize=None, extra=None, extra_cols=0):
     """One sweep pallas_call over rows [row_offset, row_offset+nv) of the
     FULL db operand(s). The offset rides the block index map — slicing the
     db to the covered range would make XLA materialize a copy of the whole
@@ -227,6 +248,10 @@ def _sweep_call(kernel, db_args, q_hi, q_lo, vn, *, nv, d_pad, block_v,
         pl.BlockSpec((1, block_v), lambda i, j: (0, j),
                      memory_space=pltpu.VMEM),
     ]
+    if extra is not None:
+        # per-query auxiliary columns (e.g. int8 dequant scales β₁/β₂)
+        common.append(pl.BlockSpec((block_q, extra_cols), lambda i, j: (i, 0),
+                                   memory_space=pltpu.VMEM))
     if direct:
         out_spec = pl.BlockSpec((block_q, ngroups_blk), lambda i, j: (i, j),
                                 memory_space=pltpu.VMEM)
@@ -235,7 +260,7 @@ def _sweep_call(kernel, db_args, q_hi, q_lo, vn, *, nv, d_pad, block_v,
         out_spec = pl.BlockSpec((ngroups_blk, block_q), lambda i, j: (j, i),
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((nv // GROUP, nq_pad), jnp.float32)
-    itemsize = 2 * len(db_args)
+    itemsize = db_itemsize if db_itemsize is not None else 2 * len(db_args)
     out = pl.pallas_call(
         functools.partial(kernel, metric=metric, block_v=block_v,
                           nq_pad=block_q, direct=direct),
@@ -250,7 +275,7 @@ def _sweep_call(kernel, db_args, q_hi, q_lo, vn, *, nv, d_pad, block_v,
             + nq_pad * (nv // GROUP) * 4,
             transcendentals=0,
         ),
-    )(q_hi, q_lo, *db_args, vn)
+    )(q_hi, q_lo, *db_args, vn, *(() if extra is None else (extra,)))
     return out if direct else out.T
 
 
@@ -269,6 +294,7 @@ def groupmax_scores(
     nv_eff: int,
     interpret: bool = False,
     sweep_passes: int = 2,
+    scales=None,               # int8 storage: (d_pad,) per-dim quant scales
 ) -> jax.Array:
     """(nq_pad, nv_eff/GROUP) per-group max of masked nomination scores.
 
@@ -276,12 +302,55 @@ def groupmax_scores(
     exact (hi, lo) query pair, cutting one MXU pass everywhere (bf16: 2→1
     passes; fp32/f16 pair: 3→2). Nomination coarsens to ~2^-9 relative,
     still certified by _sweep_eps(single_pass=True); integer-valued data
-    ≤256 (e.g. SIFT descriptors) rounds exactly, so nothing is lost."""
+    ≤256 (e.g. SIFT descriptors) rounds exactly, so nothing is lost.
+
+    int8 storage (``db.dtype == int8``, ``scales`` required): ONE exact
+    int8×int8 MXU pass over per-query-quantized q_q = round(q∘s / β);
+    nomination error is only the query quantization, certified by
+    _sweep_eps_int8."""
     from ..storage import split_f32_bf16
 
     nq_pad, d_pad = queries_f32.shape
     assert nq_pad % 8 == 0, nq_pad
     assert nv_eff % GROUP == 0, nv_eff
+
+    # validity mask pre-folded into the norm stream (built below)
+    def premask(nt_):
+        col = jax.lax.iota(jnp.int32, nv_eff)
+        vn_raw = jax.lax.slice_in_dim(db_norms, 0, nv_eff, axis=0)
+        if metric is MetricType.L2:
+            return jnp.where(col < nt_, vn_raw, jnp.inf)
+        return jnp.where(col < nt_, 0.0, jnp.inf)
+
+    if db.dtype == jnp.int8:
+        assert scales is not None, "int8 sweep needs quantization scales"
+        nt = jnp.asarray(ntotal, jnp.int32).reshape(())
+        vn_m = premask(nt)
+        q1, q2, b1, b2 = _int8_query_pair(queries_f32, scales)
+        betas = jnp.concatenate(
+            [b1[:, None], b2[:, None],
+             jnp.zeros((nq_pad, GROUP - 2), jnp.float32)], axis=1)
+        main = (nv_eff // DIRECT_BV) * DIRECT_BV if d_pad <= 128 else 0
+        parts = []
+        if main:
+            parts.append(_sweep_call(
+                _kernel_int8, (db,), q1, q2,
+                vn_m[:main].reshape(1, main),
+                nv=main, d_pad=d_pad, block_v=DIRECT_BV, nq_pad=nq_pad,
+                metric=metric, direct=True, interpret=interpret, passes=2,
+                db_itemsize=1, extra=betas, extra_cols=GROUP))
+        tail = nv_eff - main
+        if tail:
+            parts.append(_sweep_call(
+                _kernel_int8, (db,), q1, q2,
+                jax.lax.slice_in_dim(vn_m, main, nv_eff, axis=0
+                                     ).reshape(1, tail),
+                nv=tail, d_pad=d_pad, block_v=_pick_block_v(d_pad, 1, tail),
+                nq_pad=nq_pad, metric=metric, direct=False,
+                interpret=interpret, passes=2, row_offset=main,
+                db_itemsize=1, extra=betas, extra_cols=GROUP))
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+
     # pair sweep whenever a split is supplied (fp32/f16 storage AND
     # pair-only HBM modes, where `db` is db_hi) or the dtype demands one
     pair_sweep = db_split is not None or db.dtype != jnp.bfloat16
@@ -427,11 +496,16 @@ def _rescore_kernel(gidx_ref, q0_ref, q1_ref, q2_ref, *refs, metric):
     dn = (((1,), (1,)), ((), ()))
     rows = []
     for u in range(STRIPE):
-        acc = jax.lax.dot_general(q0_ref[:], db_refs[u][:], dn,
+        v = db_refs[u][:]
+        if v.dtype != jnp.bfloat16:
+            # int8 storage: decode in-kernel — ints ≤ 127 are bf16-EXACT,
+            # so the 3-pass split dot below stays fp32-true
+            v = v.astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(q0_ref[:], v, dn,
                                   preferred_element_type=jnp.float32)
-        acc += jax.lax.dot_general(q1_ref[:], db_refs[u][:], dn,
+        acc += jax.lax.dot_general(q1_ref[:], v, dn,
                                    preferred_element_type=jnp.float32)
-        acc += jax.lax.dot_general(q2_ref[:], db_refs[u][:], dn,
+        acc += jax.lax.dot_general(q2_ref[:], v, dn,
                                    preferred_element_type=jnp.float32)
         if metric is MetricType.L2:
             s = 2.0 * acc - vn_refs[u][0, :][None, :]
@@ -603,6 +677,48 @@ def _sweep_eps(queries_f32: jax.Array, db_norms: jax.Array, nv_eff: int,
     return 2.0 * eps  # safety factor
 
 
+def _int8_query_pair(queries_f32: jax.Array, scales: jax.Array):
+    """qs = q∘s ≈ β₁·q₁ + β₂·q₂ with q₁/q₂ int8 — the residual expansion
+    the int8 sweep kernel consumes (q₂ quantizes the first residual, the
+    int8 analog of the bf16 hi/lo pair; relative error ~2^-12)."""
+    qs = queries_f32 * scales[None, :]
+    b1 = jnp.maximum(jnp.max(jnp.abs(qs), axis=1), 1e-30) / 127.0
+    q1 = jnp.clip(jnp.round(qs / b1[:, None]), -127.0, 127.0)
+    r = qs - b1[:, None] * q1
+    b2 = jnp.maximum(jnp.max(jnp.abs(r), axis=1), 1e-30) / 127.0
+    q2 = jnp.clip(jnp.round(r / b2[:, None]), -127.0, 127.0)
+    return q1.astype(jnp.int8), q2.astype(jnp.int8), b1, b2
+
+
+def _sweep_eps_int8(queries_f32: jax.Array, scales: jax.Array,
+                    int_norm_max: jax.Array, *, metric: MetricType,
+                    d_pad: int):
+    """Rigorous per-query ε for the int8 sweep vs the fp32-true rescore.
+
+    Both sides score against the SAME stored v_q with the same ‖v̂‖² norms:
+      sweep  = β₁·(q₁·v_q) + β₂·(q₂·v_q)  (int32 dots EXACT; f32 multiplies)
+      rescore = fl(q∘s) · v_q             (exact bf16 products, f32 accum)
+    so the gap is bounded by
+      ‖fl(q∘s) − β₁q₁ − β₂q₂‖·max‖v_q‖  (query-pair residual, computed
+                                          exactly per query — ~2^-12 rel)
+      + (d+3)·2^-24·‖q∘s‖·max‖v_q‖      (rescore f32 accumulation + the
+                                          sweep's β multiplies/add)
+    with max‖v_q‖ = storage.int_norm_max (exact running statistic).
+    L2 ×2 (score = 2·dot − ‖v̂‖², norms bit-identical), global ×2 safety.
+    """
+    q1, q2, b1, b2 = _int8_query_pair(queries_f32, scales)
+    qs = queries_f32 * scales[None, :]
+    resid = (qs - b1[:, None] * q1.astype(jnp.float32)
+             - b2[:, None] * q2.astype(jnp.float32))
+    resid_norm = jnp.sqrt(jnp.sum(resid * resid, axis=-1))
+    qs_norm = jnp.sqrt(jnp.sum(qs * qs, axis=-1))
+    rel = (d_pad + 3.0) * 2.0 ** -24
+    eps = (resid_norm + rel * qs_norm) * int_norm_max
+    if metric is MetricType.L2:
+        eps = 2.0 * eps
+    return 2.0 * eps  # safety factor
+
+
 def fused_search(
     queries_f32: jax.Array,    # (nq_pad, d_pad) fp32
     db: jax.Array,             # (capacity, d_pad) storage dtype
@@ -619,6 +735,8 @@ def fused_search(
     rescore_take: bool = False,  # bf16: XLA take+batched-dot rescore variant
     approx_groups: bool = False,  # phase 2 via approx_max_k (certified)
     split_stats=None,          # (2,) f32 exact v-side split maxima (storage)
+    scales=None,               # int8 storage: (d_pad,) per-dim quant scales
+    int_norm_max=None,         # int8 storage: () f32 max ‖v_q‖ (certificate)
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Full fused path: kernel group-max → top groups → gather+rescore.
 
@@ -631,13 +749,15 @@ def fused_search(
     """
     nq_pad, d_pad = queries_f32.shape
     k_eff = min(k, nv_eff)
-    pair_sweep = pair_only or db_split is not None or db.dtype != jnp.bfloat16
+    is_int8 = db.dtype == jnp.int8
+    pair_sweep = not is_int8 and (
+        pair_only or db_split is not None or db.dtype != jnp.bfloat16)
 
     # phase 1 — the Pallas sweep (fp32-grade nomination for every storage)
     gmax = groupmax_scores(
         queries_f32, db, db_norms, ntotal, db_split,
         metric=metric, nv_eff=nv_eff, interpret=interpret,
-        sweep_passes=sweep_passes,
+        sweep_passes=sweep_passes, scales=scales,
     )
     ngroups = nv_eff // GROUP
 
@@ -676,6 +796,16 @@ def fused_search(
             s = 2.0 * dots - vn.reshape(nq_pad, kg * GROUP)
         else:
             s = dots
+    elif is_int8:
+        # int8 rows: same stripe-grid gather kernel; rows decode to bf16
+        # IN KERNEL (ints ≤ 127 are bf16-exact) and the query side is the
+        # exact 3-way split of q∘s, so scores are fp32-true values of
+        # (q∘s)·v_q — the decoded-database scores the norms belong to.
+        qs = queries_f32 * scales[None, :]
+        s = rescore_groups_pallas(
+            qs, db, db_norms, gidx, ntotal,
+            metric=metric, nv_eff=nv_eff, interpret=interpret,
+        )
     elif db.dtype == jnp.bfloat16:
         # bf16 rows: the scalar-prefetch Pallas kernel pipelines the group
         # gather as contiguous 32 KB block DMAs and rescores in-kernel with
@@ -720,10 +850,14 @@ def fused_search(
     # certificate: the k-th rescored score strictly dominates anything a
     # non-nominated group could hold (its sweep max + ε) → provably exact.
     # −inf threshold (all groups nominated / empty shard) certifies trivially.
-    eps = _sweep_eps(queries_f32, db_norms, nv_eff, metric=metric,
-                     pair_sweep=pair_sweep, d_pad=d_pad,
-                     single_pass=sweep_passes == 1,
-                     split_stats=split_stats)
+    if is_int8:
+        eps = _sweep_eps_int8(queries_f32, scales, int_norm_max,
+                              metric=metric, d_pad=d_pad)
+    else:
+        eps = _sweep_eps(queries_f32, db_norms, nv_eff, metric=metric,
+                         pair_sweep=pair_sweep, d_pad=d_pad,
+                         single_pass=sweep_passes == 1,
+                         split_stats=split_stats)
     certified = (t == NEG_INF) | (vals[:, k_eff - 1] >= t + eps)
     return vals, ids, certified
 

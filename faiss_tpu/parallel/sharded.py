@@ -54,6 +54,7 @@ def _build_sharded_search_fn(
     interpret: bool = False,
     pair_only: bool = False,
     sweep_passes: int = 2,
+    int8: bool = False,
 ):
     """One shard_map program: local scan+select, ICI all-gather, k-merge.
 
@@ -68,14 +69,18 @@ def _build_sharded_search_fn(
         nt = ntotal_local[0]
 
         def local_fused():
-            # split is (hi, lo, stats) — stats is this shard's (1, 2) slice
-            # of the exact v-side split maxima (certificate bounds)
+            # split is (hi, lo, stats) for fp32/f16 — stats is this shard's
+            # (1, 2) slice of the exact v-side split maxima — or
+            # (scales replicated, (1,) max‖v_q‖) for int8
             vals, ids, cert = pallas_fused.fused_search(
                 queries, db, norms, nt,
                 k=k_local, metric=metric, nv_eff=nv_eff, interpret=interpret,
-                db_split=split[:2] if split else None, pair_only=pair_only,
+                db_split=None if int8 or not split else split[:2],
+                pair_only=pair_only,
                 sweep_passes=sweep_passes,
-                split_stats=split[2][0] if split else None,
+                split_stats=None if int8 or not split else split[2][0],
+                scales=split[0] if int8 else None,
+                int_norm_max=split[1][0] if int8 else None,
             )
             if metric is MetricType.L2:
                 # restore the rank-invariant −‖q‖² so cross-shard scores share
@@ -87,7 +92,10 @@ def _build_sharded_search_fn(
 
         def masked_block(start, width):
             ns = jax.lax.dynamic_slice_in_dim(norms, start, width, axis=0)
-            if pair_only:
+            if int8:
+                dbs = jax.lax.dynamic_slice_in_dim(db, start, width, axis=0)
+                s = dist_ops.int8_scores(queries, split[0], dbs, ns, metric)
+            elif pair_only:
                 dh = jax.lax.dynamic_slice_in_dim(split[0], start, width, axis=0)
                 dl = jax.lax.dynamic_slice_in_dim(split[1], start, width, axis=0)
                 s = dist_ops.pair_scores(queries, dh, dl, ns, metric)
@@ -156,7 +164,10 @@ def _build_sharded_search_fn(
     # `shards`, replicated over `replicas`; queries: split over `replicas`,
     # replicated over shards.
     in_specs = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(REPLICA_AXIS))
-    if use_split:
+    if int8:
+        # scales replicated everywhere; per-shard max‖v_q‖ sharded
+        in_specs = in_specs + (P(None), P(AXIS))
+    elif use_split:
         in_specs = in_specs + (P(AXIS), P(AXIS), P(AXIS, None))
     fn = jax.shard_map(
         per_device,
@@ -252,7 +263,6 @@ class ShardedIndexFlat:
         self.ntotal = 0
         self._next_shard = 0  # round-robin start for balanced contiguous splits
         self._assembled = None  # cached (db, norms, gids, ntotals) global arrays
-        self.is_trained = True
         self._force_xla = False
         self.fused_fallbacks = 0  # searches re-run after a failed certificate
         # per-shape reduced-sweep disable after a certificate failure
@@ -267,6 +277,16 @@ class ShardedIndexFlat:
     def num_shards(self) -> int:
         return len(self.shards)
 
+    @property
+    def is_trained(self) -> bool:
+        return self.shards[0].store.is_trained
+
+    def train(self, x: np.ndarray) -> None:
+        """int8 storage: freeze ONE set of per-dim scales shared by every
+        shard (identical quantization grid → shard-count-invariant results)."""
+        for s in self.shards:
+            s.store.train(x)
+
     # -- mutation ---------------------------------------------------------------
     def add(self, x: np.ndarray) -> None:
         x = np.ascontiguousarray(x, dtype=np.float32)
@@ -275,6 +295,8 @@ class ShardedIndexFlat:
         n = x.shape[0]
         if n == 0:
             return
+        if not self.is_trained:
+            self.train(x)  # auto-train on the first batch, like TpuIndexFlat
         if self.ntotal + n > np.iinfo(np.int32).max:
             raise ValueError(
                 "total index size would exceed 2^31-1 (int32 device ids; "
@@ -367,7 +389,23 @@ class ShardedIndexFlat:
             NamedSharding(self.mesh, P(AXIS)),
         )
         split = ()
-        if self.shards[0].store.db_hi is not None:  # fp32/f16 storage
+        if self.storage_type is StorageType.INT8:
+            # one shared scale vector (replicated); per-shard max‖v_q‖
+            scales = jax.device_put(
+                np.asarray(jax.device_get(self.shards[0].store.scales),
+                           np.float32),
+                NamedSharding(self.mesh, P(None)),
+            )
+            int_norms = jax.device_put(
+                np.asarray([
+                    float(jax.device_get(s.store.int_norm_max))
+                    if s.store.int_norm_max is not None else 0.0
+                    for s in self.shards
+                ], np.float32),
+                NamedSharding(self.mesh, P(AXIS)),
+            )
+            split = (scales, int_norms)
+        elif self.shards[0].store.db_hi is not None:  # fp32/f16 storage
             def stats_piece(s):
                 # empty shards have no stats yet — zeros are the exact maxima
                 with jax.default_device(s.device):
@@ -449,7 +487,8 @@ class ShardedIndexFlat:
             else pallas_fused.pick_sweep_passes(nq_local, pair_storage)
         interpret = not self.res.capabilities.is_tpu
         pair_only = self.shards[0].store.pair_only
-        use_split = bool(split) and (use_fused or pair_only)
+        is_int8 = self.storage_type is StorageType.INT8
+        use_split = bool(split) and (is_int8 or use_fused or pair_only)
         key = ("sharded_search", self.num_shards, self.num_replicas, nv_eff,
                cap, d_pad, nq_pad, int(k), self.metric,
                self.storage_type, chunk, use_fused, use_split, pair_only,
@@ -461,6 +500,7 @@ class ShardedIndexFlat:
                 metric=self.metric, chunk=chunk,
                 use_fused=use_fused, use_split=use_split, interpret=interpret,
                 pair_only=pair_only, sweep_passes=sweep_passes,
+                int8=is_int8,
             ),
         )
         args = (db, norms, gids, ntotals, q) + (split if use_split else ())

@@ -50,6 +50,7 @@ _JNP_DTYPE = {
     StorageType.FLOAT32: jnp.float32,
     StorageType.FLOAT16: jnp.float16,
     StorageType.BFLOAT16: jnp.bfloat16,
+    StorageType.INT8: jnp.int8,
 }
 
 
@@ -120,6 +121,22 @@ def _append_norms_fn(norms, new_norms, offset):
 
 
 _append_norms_jit = jax.jit(_append_norms_fn, donate_argnums=(0,))
+
+
+@jax.jit
+def _quantize_int8_fn(xd, scales):
+    """Per-dim symmetric int8 quantization (scales from train()).
+
+    Returns (vq int8, norms f32 of the DECODED vectors, batch max ‖vq‖).
+    The decoded norms make the int8 ranking contract self-consistent: both
+    the sweep epilogue and the rescore subtract the same stored ‖v̂‖², so
+    results are the exact top-k of the decoded database."""
+    q = jnp.clip(jnp.round(xd / scales[None, :]), -127.0, 127.0)
+    vq = q.astype(jnp.int8)
+    dec = q * scales[None, :]
+    norms = jnp.sum(dec * dec, axis=-1, dtype=jnp.float32)
+    vq_norm = jnp.sqrt(jnp.max(jnp.sum(q * q, axis=-1)))
+    return vq, norms, vq_norm
 
 
 @jax.jit
@@ -204,6 +221,11 @@ class DeviceStore:
         # (2,) f32 [max‖v_lo‖, max‖v−hi−lo‖] over stored rows (split modes
         # only) — exact certificate bounds, see _split_stats_fn
         self.split_stats: Optional[jax.Array] = None
+        # int8 storage: per-dim quantization scales (d_pad,) f32 from
+        # train(), and the running max ‖v_q‖ (certificate bound)
+        self.scales: Optional[jax.Array] = None
+        self.int_norm_max: Optional[jax.Array] = None  # () f32 device scalar
+        self._trained = storage is not StorageType.INT8
 
     @property
     def ntotal(self) -> int:
@@ -225,6 +247,31 @@ class DeviceStore:
             with self._ctx():
                 self._ntotal_dev = self._put(jnp.int32(self._ntotal))
         return self._ntotal_dev
+
+    @property
+    def is_trained(self) -> bool:
+        return self._trained
+
+    def train(self, x: np.ndarray) -> None:
+        """int8 storage: freeze per-dimension symmetric scales from a
+        training sample (faiss ScalarQuantizer::train analog). Other
+        storage modes need no training (no-op, like faiss IndexFlat)."""
+        if self.storage is not StorageType.INT8:
+            return
+        if self._trained:
+            raise RuntimeError(
+                "int8 scales are frozen once trained (reset() does not "
+                "clear them; build a new index to retrain)")
+        x = np.ascontiguousarray(x, dtype=np.float32)
+        if x.ndim != 2 or x.shape[1] != self.d:
+            raise ValueError(f"expected (n, {self.d}) fp32 array, got {x.shape}")
+        amax = np.abs(x).max(axis=0)
+        s = np.maximum(amax / 127.0, 1e-12).astype(np.float32)
+        sp = np.ones((self.d_pad,), np.float32)  # pad dims: q is 0 there
+        sp[: self.d] = s
+        with self._ctx():
+            self.scales = self._put(jnp.asarray(sp))
+        self._trained = True
 
     @property
     def pair_only(self) -> bool:
@@ -342,12 +389,20 @@ class DeviceStore:
             # int32 id ABI, like the reference (MetalIndexFlat.mm:323-326).
             # Shard across devices (ShardedIndexFlat) for larger totals.
             raise ValueError("index size would exceed 2^31-1 vectors (int32 ids)")
+        if self.storage is StorageType.INT8 and not self._trained:
+            self.train(x)  # auto-train on the first batch (documented)
         self._ensure_capacity(self.ntotal + n)
         with self._ctx():
-            if (self.storage is not StorageType.FLOAT32
+            if (self.storage in (StorageType.FLOAT16, StorageType.BFLOAT16)
                     and x.size >= NATIVE_CONVERT_MIN_ELEMS
                     and native.available()):
                 vecs, new_norms = self._convert_host(x)
+            elif self.storage is StorageType.INT8:
+                xd = self._put(x)
+                if self.d_pad != self.d:
+                    xd = jnp.pad(xd, ((0, 0), (0, self.d_pad - self.d)))
+                vecs, new_norms, batch_qn = _quantize_int8_fn(xd, self.scales)
+                self._bump_int_norm(batch_qn)
             else:
                 xd = self._put(x)
                 # fp32, BEFORE quantization; computed for IP too — the fused
@@ -361,6 +416,13 @@ class DeviceStore:
         if self.storage is StorageType.FLOAT32 and self.pair_only:
             self._host_rows.append(np.array(x, copy=True))  # exact master
         self.ntotal += n
+
+    def _bump_int_norm(self, batch_qn: jax.Array) -> None:
+        """Running max ‖v_q‖ over stored int8 rows (certificate bound)."""
+        if self.int_norm_max is None:
+            self.int_norm_max = batch_qn
+        else:
+            self.int_norm_max = jnp.maximum(self.int_norm_max, batch_qn)
 
     def _append(self, vecs: jax.Array, new_norms: jax.Array) -> None:
         """Append stored-dtype rows + norms at self.ntotal (pair-aware)."""
@@ -379,13 +441,21 @@ class DeviceStore:
             return
         if self.ntotal + n > np.iinfo(np.int32).max:
             raise ValueError("index size would exceed 2^31-1 vectors (int32 ids)")
+        if self.storage is StorageType.INT8 and not self._trained:
+            self.train(np.asarray(jax.device_get(xd), np.float32))
         self._ensure_capacity(self.ntotal + n)
         with self._ctx():
             xd = self._put(xd)
-            new_norms = _norms_f32(xd)  # all metrics — see add()
-            if self.d_pad != self.d:
-                xd = jnp.pad(xd, ((0, 0), (0, self.d_pad - self.d)))
-            vecs = xd.astype(self.dtype)
+            if self.storage is StorageType.INT8:
+                if self.d_pad != self.d:
+                    xd = jnp.pad(xd, ((0, 0), (0, self.d_pad - self.d)))
+                vecs, new_norms, batch_qn = _quantize_int8_fn(xd, self.scales)
+                self._bump_int_norm(batch_qn)
+            else:
+                new_norms = _norms_f32(xd)  # all metrics — see add()
+                if self.d_pad != self.d:
+                    xd = jnp.pad(xd, ((0, 0), (0, self.d_pad - self.d)))
+                vecs = xd.astype(self.dtype)
             self._append(vecs, new_norms)
         if self.storage is StorageType.FLOAT32 and self.pair_only:
             # the exact master lives on host: one transfer (documented cost
@@ -420,6 +490,8 @@ class DeviceStore:
         self.db_lo = None
         self._host_rows = []
         self.split_stats = None
+        self.int_norm_max = None
+        # int8 scales survive reset (faiss: is_trained persists)
         self.ntotal = 0
         self.capacity = 0
 
@@ -431,6 +503,11 @@ class DeviceStore:
                 self._host_rows = [np.concatenate(self._host_rows)]
             return self._host_rows[0][i0 : i0 + n]
         if self.db is not None:
+            if self.storage is StorageType.INT8:
+                rows = jax.device_get(
+                    self.db[i0 : i0 + n, : self.d].astype(jnp.float32)
+                    * self.scales[None, : self.d])
+                return np.asarray(rows, dtype=np.float32)
             rows = jax.device_get(
                 self.db[i0 : i0 + n, : self.d].astype(jnp.float32))
             return np.asarray(rows, dtype=np.float32)
