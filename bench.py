@@ -39,7 +39,7 @@ NV, D, NQ, K = map(int, sys.argv[1:5])
 rng = np.random.default_rng(42)
 xb = rng.standard_normal((NV, D), dtype=np.float32)
 xq = rng.standard_normal((NQ, D), dtype=np.float32)
-for storage in ("f32", "bf16"):   # one process = one device claim for both
+for storage in ("f32", "bf16", "int8"):  # one process = one device claim
     idx = faiss_tpu.TpuIndexFlat(D, metric="l2", storage=storage)
     t0 = time.perf_counter(); idx.add(xb); add_s = time.perf_counter() - t0
     lat, pipe = measure_search(idx, xq, K)
@@ -123,6 +123,11 @@ def main():
                  f"recall@10={r16['recall']:.4f}")
     elif r16 and not r32:
         extra = "; fp32 config failed, reporting bf16"
+    r8 = rs.get("int8")
+    if r8:
+        extra += (f"; int8 storage (1 B/elem, certified-exact vs decoded "
+                  f"db): {r8['qps']:.0f} QPS recall@10={r8['recall']:.4f} "
+                  f"vs unquantized oracle")
     print(json.dumps({
         "metric": (
             f"SIFT1M-shape exact L2 QPS, 1 chip (nv={NV}, d={D}, nq={NQ}, "

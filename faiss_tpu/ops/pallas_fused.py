@@ -110,7 +110,7 @@ def _pick_block_v(d_pad: int, itemsize: int, nv: int) -> int:
     return 1024  # fused_path_eligible bounds d_pad so this still fits VMEM
 
 
-def _epilogue(dots, vn_ref, out_ref, *, metric, block_v, nq_pad,
+def _epilogue(dots, vn_ref, out_refs, *, metric, block_v, nq_pad,
               direct=False):
     """Shared group-max epilogue (VPU).
 
@@ -124,16 +124,28 @@ def _epilogue(dots, vn_ref, out_ref, *, metric, block_v, nq_pad,
     block is (nq, ngroups_blk) written as-is — only legal when ngroups_blk
     is a lane multiple (block_v = 16384 → 128 groups), measured 878 GB/s vs
     610 for the transposed layout at 1M×128 bf16 AND it feeds phase 2's
-    row-major top_k for free (the transpose cost ~0.3 ms)."""
+    row-major top_k for free (the transpose cost ~0.3 ms).
+
+    ``out_refs`` may carry a SECOND output (direct layout only): the
+    per-SUPERGROUP (8-group / 1024-row) max, written TRANSPOSED as a
+    (ngroups_blk/8, nq) block (Mosaic requires the minor block dim be a
+    lane multiple or the full array dim — nq qualifies). Emitting it here
+    is measured FREE (0.368 vs 0.368 ms at 1M×128) and hands phase 2 an
+    8× smaller top-k input."""
     if metric is MetricType.L2:
         s = 2.0 * dots - vn_ref[0, :][None, :]
     else:
         s = dots - vn_ref[0, :][None, :]  # vn is 0 / +inf for IP
     gm = jnp.max(s.reshape(nq_pad, block_v // GROUP, GROUP), axis=-1)
-    out_ref[:] = gm if direct else gm.T
+    out_refs[0][:] = gm if direct else gm.T
+    if len(out_refs) > 1:
+        assert direct
+        out_refs[1][:] = jnp.max(
+            gm.reshape(nq_pad, block_v // GROUP // SUPERGROUP, SUPERGROUP),
+            axis=-1).T
 
 
-def _kernel_qpair(qh_ref, ql_ref, db_ref, vn_ref, out_ref, *,
+def _kernel_qpair(qh_ref, ql_ref, db_ref, vn_ref, *out_refs,
                   metric, block_v, nq_pad, direct=False):
     """One nv tile, bf16 storage: two bf16 MXU passes over the exact query
     (hi, lo) pair — fp32-grade nomination (only the query's double-trunc
@@ -145,11 +157,11 @@ def _kernel_qpair(qh_ref, ql_ref, db_ref, vn_ref, out_ref, *,
                               preferred_element_type=jnp.float32)
     acc += jax.lax.dot_general(ql_ref[:], db_ref[:], dn,
                                preferred_element_type=jnp.float32)
-    _epilogue(acc, vn_ref, out_ref, metric=metric,
+    _epilogue(acc, vn_ref, out_refs, metric=metric,
               block_v=block_v, nq_pad=nq_pad, direct=direct)
 
 
-def _kernel_q1(q1_ref, _unused_ref, db_ref, vn_ref, out_ref, *,
+def _kernel_q1(q1_ref, _unused_ref, db_ref, vn_ref, *out_refs,
                metric, block_v, nq_pad, direct=False):
     """One nv tile, bf16 storage, SINGLE bf16 MXU pass over RNE-rounded
     queries. Nomination error grows to ~2^-9·‖q‖·max‖v‖ (vs ~2^-16 for the
@@ -159,11 +171,11 @@ def _kernel_q1(q1_ref, _unused_ref, db_ref, vn_ref, out_ref, *,
     dn = (((1,), (1,)), ((), ()))
     acc = jax.lax.dot_general(q1_ref[:], db_ref[:], dn,
                               preferred_element_type=jnp.float32)
-    _epilogue(acc, vn_ref, out_ref, metric=metric,
+    _epilogue(acc, vn_ref, out_refs, metric=metric,
               block_v=block_v, nq_pad=nq_pad, direct=direct)
 
 
-def _kernel_split2(q1_ref, _unused_ref, dh_ref, dl_ref, vn_ref, out_ref, *,
+def _kernel_split2(q1_ref, _unused_ref, dh_ref, dl_ref, vn_ref, *out_refs,
                    metric, block_v, nq_pad, direct=False):
     """fp32/f16 storage, REDUCED sweep: two bf16 MXU passes q_rne·(hi + lo).
     Drops only the query's RNE rounding (~2^-9 rel) relative to the exact
@@ -174,11 +186,11 @@ def _kernel_split2(q1_ref, _unused_ref, dh_ref, dl_ref, vn_ref, out_ref, *,
                               preferred_element_type=jnp.float32)
     acc += jax.lax.dot_general(q1_ref[:], dl_ref[:], dn,
                                preferred_element_type=jnp.float32)
-    _epilogue(acc, vn_ref, out_ref, metric=metric,
+    _epilogue(acc, vn_ref, out_refs, metric=metric,
               block_v=block_v, nq_pad=nq_pad, direct=direct)
 
 
-def _kernel_int8(q1_ref, q2_ref, db_ref, vn_ref, beta_ref, out_ref, *,
+def _kernel_int8(q1_ref, q2_ref, db_ref, vn_ref, beta_ref, *out_refs,
                  metric, block_v, nq_pad, direct=False):
     """One nv tile, int8 storage: TWO int8×int8 MXU passes over the
     residual expansion qs ≈ β₁·q₁ + β₂·q₂ (q₂ quantizes the first pass's
@@ -194,11 +206,11 @@ def _kernel_int8(q1_ref, q2_ref, db_ref, vn_ref, beta_ref, out_ref, *,
                              preferred_element_type=jnp.int32)
     dots = (a1.astype(jnp.float32) * beta_ref[:, 0:1]
             + a2.astype(jnp.float32) * beta_ref[:, 1:2])
-    _epilogue(dots, vn_ref, out_ref, metric=metric,
+    _epilogue(dots, vn_ref, out_refs, metric=metric,
               block_v=block_v, nq_pad=nq_pad, direct=direct)
 
 
-def _kernel_split(qh_ref, ql_ref, dh_ref, dl_ref, vn_ref, out_ref, *,
+def _kernel_split(qh_ref, ql_ref, dh_ref, dl_ref, vn_ref, *out_refs,
                   metric, block_v, nq_pad, direct=False):
     """One nv tile, fp32/f16 storage: three bf16 MXU passes over the
     pre-split (hi, lo) operands ≈ fp32 ranking (only lo·lo dropped). The
@@ -214,7 +226,7 @@ def _kernel_split(qh_ref, ql_ref, dh_ref, dl_ref, vn_ref, out_ref, *,
                                preferred_element_type=jnp.float32)
     acc += jax.lax.dot_general(ql_ref[:], dh_ref[:], dn,
                                preferred_element_type=jnp.float32)
-    _epilogue(acc, vn_ref, out_ref, metric=metric,
+    _epilogue(acc, vn_ref, out_refs, metric=metric,
               block_v=block_v, nq_pad=nq_pad, direct=direct)
 
 
@@ -229,7 +241,8 @@ DIRECT_BV = 16384
 
 def _sweep_call(kernel, db_args, q_hi, q_lo, vn, *, nv, d_pad, block_v,
                 nq_pad, metric, direct, interpret, passes, row_offset=0,
-                db_itemsize=None, extra=None, extra_cols=0):
+                db_itemsize=None, extra=None, extra_cols=0,
+                block_max=False):
     """One sweep pallas_call over rows [row_offset, row_offset+nv) of the
     FULL db operand(s). The offset rides the block index map — slicing the
     db to the covered range would make XLA materialize a copy of the whole
@@ -257,17 +270,30 @@ def _sweep_call(kernel, db_args, q_hi, q_lo, vn, *, nv, d_pad, block_v,
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((nq_pad, nv // GROUP), jnp.float32)
     else:
+        assert not block_max
         out_spec = pl.BlockSpec((ngroups_blk, block_q), lambda i, j: (j, i),
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((nv // GROUP, nq_pad), jnp.float32)
+    out_specs, out_shapes = out_spec, out_shape
+    if block_max:
+        # second output: per-1024-row supergroup max, TRANSPOSED
+        # (nblocks, nq) — minor block dim = full nq (Mosaic-legal), the
+        # caller transposes the tiny result (nblocks·nq·4 B)
+        nb_blk = ngroups_blk // SUPERGROUP
+        out_specs = [out_spec,
+                     pl.BlockSpec((nb_blk, block_q), lambda i, j: (j, i),
+                                  memory_space=pltpu.VMEM)]
+        out_shapes = [out_shape,
+                      jax.ShapeDtypeStruct(
+                          (nv // GROUP // SUPERGROUP, nq_pad), jnp.float32)]
     itemsize = db_itemsize if db_itemsize is not None else 2 * len(db_args)
     out = pl.pallas_call(
         functools.partial(kernel, metric=metric, block_v=block_v,
                           nq_pad=block_q, direct=direct),
         grid=grid,
         in_specs=[q_spec, q_spec] + [db_spec] * len(db_args) + common,
-        out_specs=out_spec,
-        out_shape=out_shape,
+        out_specs=out_specs,
+        out_shape=out_shapes,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * nq_pad * nv * d_pad * passes,
@@ -276,12 +302,15 @@ def _sweep_call(kernel, db_args, q_hi, q_lo, vn, *, nv, d_pad, block_v,
             transcendentals=0,
         ),
     )(q_hi, q_lo, *db_args, vn, *(() if extra is None else (extra,)))
+    if block_max:
+        return out[0], out[1].T
     return out if direct else out.T
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("metric", "nv_eff", "interpret", "sweep_passes"),
+    static_argnames=("metric", "nv_eff", "interpret", "sweep_passes",
+                     "with_block_max"),
 )
 def groupmax_scores(
     queries_f32: jax.Array,    # (nq_pad, d_pad) fp32
@@ -295,6 +324,7 @@ def groupmax_scores(
     interpret: bool = False,
     sweep_passes: int = 2,
     scales=None,               # int8 storage: (d_pad,) per-dim quant scales
+    with_block_max: bool = False,  # also return per-8-group supergroup max
 ) -> jax.Array:
     """(nq_pad, nv_eff/GROUP) per-group max of masked nomination scores.
 
@@ -331,25 +361,39 @@ def groupmax_scores(
             [b1[:, None], b2[:, None],
              jnp.zeros((nq_pad, GROUP - 2), jnp.float32)], axis=1)
         main = (nv_eff // DIRECT_BV) * DIRECT_BV if d_pad <= 128 else 0
-        parts = []
+        parts, bparts = [], []
         if main:
-            parts.append(_sweep_call(
+            r = _sweep_call(
                 _kernel_int8, (db,), q1, q2,
                 vn_m[:main].reshape(1, main),
                 nv=main, d_pad=d_pad, block_v=DIRECT_BV, nq_pad=nq_pad,
                 metric=metric, direct=True, interpret=interpret, passes=2,
-                db_itemsize=1, extra=betas, extra_cols=GROUP))
+                db_itemsize=1, extra=betas, extra_cols=GROUP,
+                block_max=with_block_max)
+            if with_block_max:
+                parts.append(r[0]); bparts.append(r[1])
+            else:
+                parts.append(r)
         tail = nv_eff - main
         if tail:
-            parts.append(_sweep_call(
+            t = _sweep_call(
                 _kernel_int8, (db,), q1, q2,
                 jax.lax.slice_in_dim(vn_m, main, nv_eff, axis=0
                                      ).reshape(1, tail),
                 nv=tail, d_pad=d_pad, block_v=_pick_block_v(d_pad, 1, tail),
                 nq_pad=nq_pad, metric=metric, direct=False,
                 interpret=interpret, passes=2, row_offset=main,
-                db_itemsize=1, extra=betas, extra_cols=GROUP))
-        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+                db_itemsize=1, extra=betas, extra_cols=GROUP)
+            parts.append(t)
+            if with_block_max:
+                bparts.append(jnp.max(t.reshape(
+                    nq_pad, -1, SUPERGROUP), axis=-1))
+        gm = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+        if with_block_max:
+            bm = (bparts[0] if len(bparts) == 1
+                  else jnp.concatenate(bparts, axis=1))
+            return gm, bm
+        return gm
 
     # pair sweep whenever a split is supplied (fp32/f16 storage AND
     # pair-only HBM modes, where `db` is db_hi) or the dtype demands one
@@ -383,32 +427,48 @@ def groupmax_scores(
 
     if pair_sweep:
         block_v = _pick_block_v(d_pad, 4, nv_eff)
-        return _sweep_call(
+        gm = _sweep_call(
             pair_kernel, (db_split[0], db_split[1]), q_hi, q_lo,
             vn_of(0, nv_eff),
             nv=nv_eff, d_pad=d_pad, block_v=block_v, nq_pad=nq_pad,
             metric=metric, direct=False, interpret=interpret,
             passes=npass + 1)
+        if with_block_max:
+            # transposed-layout sweep has no free second output; one XLA
+            # reshape-max over the (nq, ngroups) array (~3 MB) suffices
+            return gm, jnp.max(gm.reshape(nq_pad, -1, SUPERGROUP), axis=-1)
+        return gm
 
     # bf16 native: direct-layout 16384-row tiles over the aligned prefix,
     # transposed-layout tail for the 1024-aligned remainder. The db is
     # passed WHOLE both times (offset index maps, no slice copies).
     main = (nv_eff // DIRECT_BV) * DIRECT_BV if d_pad <= 128 else 0
-    parts = []
+    parts, bparts = [], []
     if main:
-        parts.append(_sweep_call(
+        r = _sweep_call(
             bf16_kernel, (db,), q_hi, q_lo, vn_of(0, main),
             nv=main, d_pad=d_pad, block_v=DIRECT_BV, nq_pad=nq_pad,
             metric=metric, direct=True, interpret=interpret,
-            passes=sweep_passes))
+            passes=sweep_passes, block_max=with_block_max)
+        if with_block_max:
+            parts.append(r[0]); bparts.append(r[1])
+        else:
+            parts.append(r)
     tail = nv_eff - main
     if tail:
-        parts.append(_sweep_call(
+        t = _sweep_call(
             bf16_kernel, (db,), q_hi, q_lo, vn_of(main, tail),
             nv=tail, d_pad=d_pad, block_v=_pick_block_v(d_pad, 2, tail),
             nq_pad=nq_pad, metric=metric, direct=False, interpret=interpret,
-            passes=sweep_passes, row_offset=main))
-    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+            passes=sweep_passes, row_offset=main)
+        parts.append(t)
+        if with_block_max:
+            bparts.append(jnp.max(t.reshape(nq_pad, -1, SUPERGROUP), axis=-1))
+    gm = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    if with_block_max:
+        bm = bparts[0] if len(bparts) == 1 else jnp.concatenate(bparts, axis=1)
+        return gm, bm
+    return gm
 
 
 SUPERGROUP = 8  # level-2 fan-in for hierarchical group selection
@@ -479,6 +539,45 @@ def _top_groups(
                                            inplace=False), axis=-1)
         t = jnp.maximum(t, t_blk)
     return gidx, t
+
+
+def _top_groups_from_bmax(
+    gmax: jax.Array, bmax: jax.Array, kg: int, ngroups: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Hierarchical _top_groups fed by the sweep kernel's FREE supergroup
+    maxes (with_block_max): top-kg of (nq, ngroups/8) blocks → refine over
+    the kg·8 candidate groups. Same nomination/threshold guarantees as
+    _top_groups (a block's max bounds every member group), but the big
+    per-query top-k shrinks 8× — at 1M×128 phase 2 measured 0.135 ms with
+    the flat 7816-lane top_k and the XLA-reduced hierarchical variant was
+    SLOWER (0.64); kernel-emitted bmax removes that reduce entirely."""
+    nq = gmax.shape[0]
+    nblocks = ngroups // SUPERGROUP
+    _, bidx = jax.lax.top_k(bmax, kg)          # indices-only (fast lowering)
+    bidx_sorted = jnp.sort(bidx, axis=-1)      # id-ascending candidates
+    offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, SUPERGROUP), 2)
+    cand_cols = (bidx_sorted[:, :, None] * SUPERGROUP + offs).reshape(
+        nq, kg * SUPERGROUP
+    )
+    cand = jnp.take_along_axis(gmax, cand_cols, axis=1)
+    _, pos = jax.lax.top_k(cand, kg)
+    gidx = jnp.take_along_axis(cand_cols, pos, axis=1)
+    t = jnp.max(jnp.put_along_axis(cand, pos, NEG_INF, axis=-1,
+                                   inplace=False), axis=-1)
+    if kg < nblocks:
+        t_blk = jnp.max(jnp.put_along_axis(bmax, bidx, NEG_INF, axis=-1,
+                                           inplace=False), axis=-1)
+        t = jnp.maximum(t, t_blk)
+    return gidx, t
+
+
+# engage the bmax-hierarchical phase 2 only when the flat per-query top_k is
+# large enough to dominate. Measured v5e r2 at 1M×128 (7816 groups): flat
+# 0.698 vs hier 0.767 ms e2e — the 14-of-7816 indices-only top_k is already
+# cheap, so hier only pays at the 64K-group scale (≥8M rows/chip) where
+# _top_groups' XLA-reduce hierarchical path used to engage; the kernel's
+# free bmax output now replaces that reduce.
+HIER_MIN_GROUPS = 65536
 
 
 STRIPE = 8  # queries per rescore grid step (one NQ_PAD-aligned stripe)
@@ -753,18 +852,31 @@ def fused_search(
     pair_sweep = not is_int8 and (
         pair_only or db_split is not None or db.dtype != jnp.bfloat16)
 
-    # phase 1 — the Pallas sweep (fp32-grade nomination for every storage)
-    gmax = groupmax_scores(
-        queries_f32, db, db_norms, ntotal, db_split,
-        metric=metric, nv_eff=nv_eff, interpret=interpret,
-        sweep_passes=sweep_passes, scales=scales,
-    )
+    # phase 1 — the Pallas sweep (fp32-grade nomination for every storage).
+    # At large ngroups it also emits the per-supergroup maxes (free second
+    # kernel output) so phase 2's big top-k shrinks 8×.
     ngroups = nv_eff // GROUP
-
-    # phase 2 — top-(k+pad) groups, id-ascending for oracle tie order; t is
-    # the certificate threshold (max un-nominated group-max)
     kg = min(k_eff + GROUP_PAD, ngroups)
-    gidx, t = _top_groups(gmax, kg, ngroups, approx=approx_groups)
+    hier = (not approx_groups and ngroups >= HIER_MIN_GROUPS
+            and ngroups % SUPERGROUP == 0
+            and kg < ngroups // SUPERGROUP
+            and kg * SUPERGROUP <= ngroups)
+    if hier:
+        gmax, bmax = groupmax_scores(
+            queries_f32, db, db_norms, ntotal, db_split,
+            metric=metric, nv_eff=nv_eff, interpret=interpret,
+            sweep_passes=sweep_passes, scales=scales, with_block_max=True,
+        )
+        gidx, t = _top_groups_from_bmax(gmax, bmax, kg, ngroups)
+    else:
+        gmax = groupmax_scores(
+            queries_f32, db, db_norms, ntotal, db_split,
+            metric=metric, nv_eff=nv_eff, interpret=interpret,
+            sweep_passes=sweep_passes, scales=scales,
+        )
+        # phase 2 — top-(k+pad) groups; t is the certificate threshold
+        # (max un-nominated group-max)
+        gidx, t = _top_groups(gmax, kg, ngroups, approx=approx_groups)
     gidx = jnp.sort(gidx, axis=-1)
 
     # phase 3 — gather candidate groups and rescore exactly w.r.t. the

@@ -437,3 +437,29 @@ def test_certificate_integer_data_large_k(monkeypatch):
     s -= (xb.astype(np.float64) ** 2).sum(1)[None, :]
     order = np.argsort(-s, axis=1, kind="stable")[:, :100]
     np.testing.assert_array_equal(np.asarray(I), order)
+
+
+@pytest.mark.parametrize("metric", [MetricType.L2, MetricType.INNER_PRODUCT])
+def test_hier_bmax_phase2_matches_flat(metric, monkeypatch):
+    """The bmax-hierarchical phase 2 (kernel-emitted supergroup maxes) must
+    return the same ids and certify identically to the flat top_k path,
+    including on tie-heavy data (duplicated rows)."""
+    monkeypatch.setattr(pallas_fused, "HIER_MIN_GROUPS", 64)
+    rng = np.random.default_rng(21)
+    base = rng.standard_normal((8192, 64)).astype(np.float32)
+    xb = np.concatenate([base, base[:8192]])  # every vector twice → ties
+    db = jnp.asarray(xb).astype(jnp.bfloat16)
+    norms = _norms(db)
+    q = jnp.asarray(rng.standard_normal((8, 64)).astype(np.float32))
+    nt = jnp.int32(xb.shape[0] - 7)
+    v1, i1, c1 = pallas_fused.fused_search(
+        q, db, norms, nt, k=12, metric=metric, nv_eff=xb.shape[0],
+        interpret=True)
+    monkeypatch.setattr(pallas_fused, "HIER_MIN_GROUPS", 1 << 30)  # flat
+    v2, i2, c2 = pallas_fused.fused_search(
+        q, db, norms, nt, k=12, metric=metric, nv_eff=xb.shape[0],
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
