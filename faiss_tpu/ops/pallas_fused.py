@@ -581,36 +581,42 @@ HIER_MIN_GROUPS = 65536
 
 
 STRIPE = 8  # queries per rescore grid step (one NQ_PAD-aligned stripe)
+RESCORE_RANKS = 2  # group ranks per step (16 in-flight gather DMAs;
+#                    measured 0.091 vs 0.117 ms at kg=14, 1M x 128, v5e r2)
 
 
-def _rescore_kernel(gidx_ref, q0_ref, q1_ref, q2_ref, *refs, metric):
-    """One grid step = one (8-query stripe, group rank) pair: the stripe's
-    8 queries each contribute their rank-jj candidate group via 8
-    scalar-prefetched index maps (8 in-flight 32 KB gather DMAs/step).
-    Query u's scores land in out row u — every out cell is written exactly
-    once by static slices (no revisited blocks, no predication, and the
-    validity mask rides the pre-masked vn stream like the sweep's)."""
-    db_refs, vn_refs, out_ref = refs[:STRIPE], refs[STRIPE:2 * STRIPE], \
-        refs[-1]
+def _rescore_kernel(gidx_ref, q0_ref, q1_ref, q2_ref, *refs, metric, rj=1):
+    """One grid step = one (8-query stripe, ``rj`` group ranks) pair: the
+    stripe's 8 queries each contribute their ranks [jj·rj, (jj+1)·rj) via
+    8·rj scalar-prefetched index maps (8·rj in-flight 32 KB gather
+    DMAs/step). Query u's scores land in out row u — every out cell is
+    written exactly once by static slices (no revisited blocks, no
+    predication, and the validity mask rides the pre-masked vn stream
+    like the sweep's)."""
+    nblk = STRIPE * rj
+    db_refs, vn_refs, out_ref = refs[:nblk], refs[nblk:2 * nblk], refs[-1]
     dn = (((1,), (1,)), ((), ()))
     rows = []
     for u in range(STRIPE):
-        v = db_refs[u][:]
-        if v.dtype != jnp.bfloat16:
-            # int8 storage: decode in-kernel — ints ≤ 127 are bf16-EXACT,
-            # so the 3-pass split dot below stays fp32-true
-            v = v.astype(jnp.bfloat16)
-        acc = jax.lax.dot_general(q0_ref[:], v, dn,
-                                  preferred_element_type=jnp.float32)
-        acc += jax.lax.dot_general(q1_ref[:], v, dn,
-                                   preferred_element_type=jnp.float32)
-        acc += jax.lax.dot_general(q2_ref[:], v, dn,
-                                   preferred_element_type=jnp.float32)
-        if metric is MetricType.L2:
-            s = 2.0 * acc - vn_refs[u][0, :][None, :]
-        else:
-            s = acc - vn_refs[u][0, :][None, :]  # vn is 0 / +inf for IP
-        rows.append(s[u : u + 1, :])  # static row: query u of the stripe
+        parts = []
+        for r in range(rj):
+            v = db_refs[u * rj + r][:]
+            if v.dtype != jnp.bfloat16:
+                # int8 storage: decode in-kernel — ints ≤ 127 are
+                # bf16-EXACT, so the 3-pass split dot stays fp32-true
+                v = v.astype(jnp.bfloat16)
+            acc = jax.lax.dot_general(q0_ref[:], v, dn,
+                                      preferred_element_type=jnp.float32)
+            acc += jax.lax.dot_general(q1_ref[:], v, dn,
+                                       preferred_element_type=jnp.float32)
+            acc += jax.lax.dot_general(q2_ref[:], v, dn,
+                                       preferred_element_type=jnp.float32)
+            if metric is MetricType.L2:
+                s = 2.0 * acc - vn_refs[u * rj + r][0, :][None, :]
+            else:
+                s = acc - vn_refs[u * rj + r][0, :][None, :]  # vn 0/+inf IP
+            parts.append(s[u : u + 1, :])  # static row: query u
+        rows.append(parts[0] if rj == 1 else jnp.concatenate(parts, axis=1))
     out_ref[:, :] = jnp.concatenate(rows, axis=0)
 
 
@@ -624,20 +630,23 @@ def rescore_groups_pallas(
     metric: MetricType,
     nv_eff: int,
     interpret: bool = False,
+    ranks_per_step: int = 1,
 ) -> jax.Array:
     """(nq_pad, kg·GROUP) fp32-true scores for each query's candidate groups.
 
     Exactness: bf16×bf16 products are exact in fp32 and the query is split
     3-way exactly (split3_f32_bf16), so scores match an fp32 rescore. VMEM
-    holds one (8, GROUP) out block per step, never the whole array (ADVICE
-    r1). Grid = (stripes, kg): consecutive steps reuse the stripe's query
-    blocks; each step's 8 gather DMAs pipeline (measured r2: the previous
-    per-query grid with predicated accumulation cost 0.29 ms at kg=14,
-    nq=104 — ~5× its DMA floor — from per-group VPU/branch overhead)."""
+    holds one (8, rj·GROUP) out block per step, never the whole array
+    (ADVICE r1). Grid = (stripes, kg/rj): consecutive steps reuse the
+    stripe's query blocks; each step's 8·rj gather DMAs pipeline (measured
+    r2: the previous per-query grid with predicated accumulation cost
+    0.29 ms at kg=14, nq=104 — ~5× its DMA floor — from per-group
+    VPU/branch overhead)."""
     from ..storage import split3_f32_bf16
 
     nq_pad, d_pad = queries_f32.shape
     kg = gidx.shape[1]
+    rj = ranks_per_step if kg % ranks_per_step == 0 else 1
     q0, q1, q2 = split3_f32_bf16(queries_f32)
     nt = jnp.asarray(ntotal, jnp.int32).reshape(())
     # pre-masked norms: +inf past ntotal (0/+inf for IP) — same stream the
@@ -656,32 +665,34 @@ def rescore_groups_pallas(
     def q_idx(i, jj, gidx_ref):
         return (i, 0)
 
-    def mk_db_idx(u):
+    def mk_db_idx(u, r):
         def db_idx(i, jj, gidx_ref):
-            return (gidx_ref[i * STRIPE + u, jj], 0)
+            return (gidx_ref[i * STRIPE + u, jj * rj + r], 0)
         return db_idx
 
-    def mk_vn_idx(u):
+    def mk_vn_idx(u, r):
         def vn_idx(i, jj, gidx_ref):
-            return (0, gidx_ref[i * STRIPE + u, jj])
+            return (0, gidx_ref[i * STRIPE + u, jj * rj + r])
         return vn_idx
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nq_pad // STRIPE, kg),
+        grid=(nq_pad // STRIPE, kg // rj),
         in_specs=[pl.BlockSpec((STRIPE, d_pad), q_idx,
                                memory_space=pltpu.VMEM)] * 3
-        + [pl.BlockSpec((GROUP, d_pad), mk_db_idx(u), memory_space=pltpu.VMEM)
-           for u in range(STRIPE)]
-        + [pl.BlockSpec((1, GROUP), mk_vn_idx(u), memory_space=pltpu.VMEM)
-           for u in range(STRIPE)],
+        + [pl.BlockSpec((GROUP, d_pad), mk_db_idx(u, r),
+                        memory_space=pltpu.VMEM)
+           for u in range(STRIPE) for r in range(rj)]
+        + [pl.BlockSpec((1, GROUP), mk_vn_idx(u, r),
+                        memory_space=pltpu.VMEM)
+           for u in range(STRIPE) for r in range(rj)],
         out_specs=pl.BlockSpec(
-            (STRIPE, GROUP), lambda i, jj, g: (i, jj),
+            (STRIPE, rj * GROUP), lambda i, jj, g: (i, jj),
             memory_space=pltpu.VMEM,
         ),
     )
-    kernel = functools.partial(_rescore_kernel, metric=metric)
-    args = [q0, q1, q2] + [dbs] * STRIPE + [vn] * STRIPE
+    kernel = functools.partial(_rescore_kernel, metric=metric, rj=rj)
+    args = [q0, q1, q2] + [dbs] * (STRIPE * rj) + [vn] * (STRIPE * rj)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -917,6 +928,7 @@ def fused_search(
         s = rescore_groups_pallas(
             qs, db, db_norms, gidx, ntotal,
             metric=metric, nv_eff=nv_eff, interpret=interpret,
+            ranks_per_step=RESCORE_RANKS,
         )
     elif db.dtype == jnp.bfloat16:
         # bf16 rows: the scalar-prefetch Pallas kernel pipelines the group
@@ -924,7 +936,8 @@ def fused_search(
         # an exact 3-way query split (fp32-true; bf16×bf16 products are
         # exact in fp32).
         rescore = rescore_groups_take if rescore_take else \
-            rescore_groups_pallas
+            functools.partial(rescore_groups_pallas,
+                              ranks_per_step=RESCORE_RANKS)
         s = rescore(
             queries_f32, db, db_norms, gidx, ntotal,
             metric=metric, nv_eff=nv_eff, interpret=interpret,
