@@ -158,6 +158,8 @@ DEFAULT_GRID = [
     # regimes the reference cannot do correctly / at all:
     dict(name="hugek-128d", nv=100_000, nq=10, d=128, k=2048, storage="f32"),
     dict(name="sift1m-shape", nv=1_000_000, nq=100, d=128, k=10, storage="bf16"),
+    dict(name="sift1m-shape.int8", nv=1_000_000, nq=100, d=128, k=10,
+         storage="int8"),
 ]
 
 
