@@ -177,3 +177,35 @@ def test_fused_search_direct_int8():
     # uncertified queries would re-run on the plain path at the index level.
     # It must never be wrong, which the id equality above establishes.
     assert np.asarray(cert).dtype == np.bool_
+
+
+def test_add_after_search_and_sentinels():
+    """Growth after a search recompiles cleanly with frozen scales; k >
+    ntotal and empty-index sentinels behave like every other storage."""
+    xb, xq = make_data(4096, 4, 32)
+    idx = TpuIndexFlat(32, storage="int8")
+    D0, I0 = idx.search(xq, 5)          # empty index
+    assert (I0 == -1).all() and np.isinf(D0).all()
+    idx.add(xb)
+    idx.search(xq, 10)
+    idx.add(xb[:1000])                  # grow after search (recompile)
+    assert idx.ntotal == 5096
+    Dk, Ik = idx.search(xq[:2], 6000)   # k > ntotal
+    assert (Ik[:, -1] == -1).all()
+    got = idx.reconstruct(4096 + 7)
+    want = idx.reconstruct(7)           # same source row, same scales
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_concurrent_searches():
+    import concurrent.futures as cf
+
+    xb, xq = make_data(16384, 8, 64)
+    idx = TpuIndexFlat(64, storage="int8")
+    idx.add(xb)
+    ref = idx.search(xq, 10)
+    with cf.ThreadPoolExecutor(max_workers=8) as pool:
+        futs = [pool.submit(idx.search, xq, 10) for _ in range(16)]
+        for f in futs:
+            D, I = f.result()
+            np.testing.assert_array_equal(I, ref[1])
