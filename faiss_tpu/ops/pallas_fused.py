@@ -195,8 +195,8 @@ def _kernel_int8(q1_ref, q2_ref, db_ref, vn_ref, beta_ref, *out_refs,
     """One nv tile, int8 storage: TWO int8×int8 MXU passes over the
     residual expansion qs ≈ β₁·q₁ + β₂·q₂ (q₂ quantizes the first pass's
     residual — the int8 analog of the bf16 hi/lo pair). Each int32 dot is
-    EXACT and int8 MACs run at 2× bf16 MXU rate, so both passes together
-    cost one bf16 pass while the nomination error drops from ~2^-6.6 to
+    EXACT; Mosaic lowers int8 dots at ≈ bf16 MXU rate on v5e (measured —
+    not the nominal 2×), and the nomination error drops from ~2^-6.6 to
     ~2^-12 relative — enough for real margins at 1M rows (single-pass int8
     measured cert-rate ≈ 0 there). ``beta_ref`` cols 0/1 carry β₁/β₂."""
     dn = (((1,), (1,)), ((), ()))
