@@ -1,0 +1,54 @@
+import numpy as np, faiss_tpu
+rng = np.random.default_rng(0)
+xb = rng.standard_normal((50_000, 128)).astype(np.float32)
+xq = np.random.default_rng(1).standard_normal((32, 128)).astype(np.float32)
+idx = faiss_tpu.TpuIndexFlat(128); idx.add(xb)
+D, I = idx.search(xq, 10)
+d2 = ((xq**2).sum(1)[:,None] - 2*xq@xb.T + (xb**2).sum(1)[None,:])
+assert (I[:,0] == d2.argmin(1)).all(), "top-1 mismatch"
+# full set equality at k=10 vs f64 oracle
+o = np.argsort(d2.astype(np.float64), axis=1)[:, :10]
+for r in range(32):
+    assert set(I[r].tolist()) == set(o[r].tolist()), r
+print("fp32 50k OK, fallbacks:", idx.fused_fallbacks)
+# bf16 storage top-1 parity + big-nq reduced sweep path (nq>=32 -> 1-pass)
+idx16 = faiss_tpu.TpuIndexFlat(128, storage="bf16"); idx16.add(xb)
+xq2 = np.random.default_rng(2).standard_normal((100, 128)).astype(np.float32)
+D2, I2 = idx16.search(xq2, 10)
+xb16 = xb.astype(np.float32)  # oracle on quantized db
+import numpy as _np
+xbq = xb.astype(_np.float32).astype(_np.float16).astype(_np.float32)  # not bf16; skip
+dq = ((xq2**2).sum(1)[:,None] - 2*xq2@xb.T + (xb**2).sum(1)[None,:])
+top1 = dq.argmin(1)
+agree = (I2[:,0] == top1).mean()
+assert agree > 0.95, agree  # bf16 quantization can flip near-ties
+print("bf16 100q OK, top1 agree:", agree, "fallbacks:", idx16.fused_fallbacks)
+# edge cases
+e = faiss_tpu.TpuIndexFlat(64)
+De, Ie = e.search(np.zeros((2, 64), np.float32), 5)
+assert (Ie == -1).all() and np.isinf(De).all()
+try:
+    idx.search(xq[:, :64], 10); raise SystemExit("no dim check")
+except ValueError: pass
+try:
+    idx.search(xq, 0); raise SystemExit("no k check")
+except ValueError: pass
+Dk, Ik = idx.search(xq[:2], 50_005)  # k > ntotal
+assert (Ik[:, -1] == -1).all()
+# add-after-search + reconstruct
+idx.add(xb[:1000]); assert idx.ntotal == 51_000
+r = idx.reconstruct(50_100); np.testing.assert_allclose(r, xb[100], rtol=1e-6)
+# d=100 non-aligned, 1-D query
+nl = faiss_tpu.TpuIndexFlat(100); nl.add(xb[:, :100].copy())
+Dn, In = nl.search(xb[3, :100], 1)
+assert In.reshape(-1)[0] == 3
+print("edges OK")
+# int8 storage: new surface — drive end-to-end on the real TPU
+idx8 = faiss_tpu.TpuIndexFlat(128, storage="int8")
+idx8.add(xb)
+D8, I8 = idx8.search(xq2, 10)
+dec = idx8.reconstruct_n(0, 1000)  # decode sanity
+d8 = ((xq2**2).sum(1)[:,None] - 2*xq2@xb.T + (xb**2).sum(1)[None,:])
+agree8 = (I8[:,0] == d8.argmin(1)).mean()
+assert agree8 > 0.9, agree8
+print("int8 100q OK, top1 agree:", agree8, "fallbacks:", idx8.fused_fallbacks)
