@@ -15,9 +15,6 @@ print("fp32 50k OK, fallbacks:", idx.fused_fallbacks)
 idx16 = faiss_tpu.TpuIndexFlat(128, storage="bf16"); idx16.add(xb)
 xq2 = np.random.default_rng(2).standard_normal((100, 128)).astype(np.float32)
 D2, I2 = idx16.search(xq2, 10)
-xb16 = xb.astype(np.float32)  # oracle on quantized db
-import numpy as _np
-xbq = xb.astype(_np.float32).astype(_np.float16).astype(_np.float32)  # not bf16; skip
 dq = ((xq2**2).sum(1)[:,None] - 2*xq2@xb.T + (xb**2).sum(1)[None,:])
 top1 = dq.argmin(1)
 agree = (I2[:,0] == top1).mean()
