@@ -172,6 +172,7 @@ def _add_raw(idx, rows: np.ndarray, norms: np.ndarray) -> None:
                 continue
             gids = np.arange(off, off + c, dtype=np.int32)
             sh = idx.shards[i]
+            idx._extents.append((off, off + c, i, sh.store.ntotal))
             grew = raw_into(sh.store, rows[off : off + c], norms[off : off + c])
             sh._append_gids(gids, sh.store.ntotal - c, grew=grew)
             off += c

@@ -123,6 +123,22 @@ def pair_scores(
     return 2.0 * dots - q_norms[:, None] - db_norms[None, :]
 
 
+def f16_scores(
+    queries: jax.Array,           # (nq, d) fp32
+    dbits: jax.Array,             # (nv, d) int16 f16 bit patterns
+    db_norms: Optional[jax.Array],
+    metric: MetricType,
+) -> jax.Array:
+    """(nq, nv) scores against 2 B/elem f16-bits storage: XLA decode to the
+    exact bf16 (hi, lo) pair (storage.split_f16_bits — bit-exact for every
+    f16 value) + the 4-pass pair GEMM. Same fp32-true arithmetic class as
+    the fused path's rescore, so plain and fused agree."""
+    from ..storage import split_f16_bits
+
+    hi, lo = split_f16_bits(dbits)
+    return pair_scores(queries, hi, lo, db_norms, metric)
+
+
 def int8_scores(
     queries: jax.Array,           # (nq, d) fp32
     scales: jax.Array,            # (d,) fp32 per-dim quantization scales

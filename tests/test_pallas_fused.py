@@ -331,6 +331,8 @@ def test_no_fallback_on_random(monkeypatch):
     {"sweep_passes": 1, "rescore_take": True},
     {"approx_groups": True},
     {"sweep_passes": 1, "approx_groups": True},
+    {"rescore_select": True},
+    {"sweep_passes": 1, "rescore_select": True},
 ])
 def test_fused_variants_match_default(metric, kw):
     """The single-pass sweep and take-based rescore variants return the same
@@ -463,3 +465,94 @@ def test_hier_bmax_phase2_matches_flat(metric, monkeypatch):
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_select_kernel_matches_top_groups(seed):
+    """The Pallas phase-2 select kernel must reproduce _top_groups + sort
+    EXACTLY: same nominated set (ties to lowest group id), ascending order,
+    identical certificate threshold."""
+    rng = np.random.default_rng(400 + seed)
+    nq = [8, 104, 128, 16][seed]
+    ngroups = [128, 7816, 61, 16384][seed]
+    kg = [14, 14, 61, 36][seed]  # incl. kg == ngroups (all nominated)
+    gm = rng.standard_normal((nq, ngroups)).astype(np.float32)
+    if seed % 2:
+        gm = np.round(gm, 1)  # many exact ties at the nomination boundary
+    gmj = jnp.asarray(gm)
+    gidx, t = pallas_fused.select_groups_pallas(
+        gmj, kg, ngroups, interpret=True)
+    ref_gidx, ref_t = pallas_fused._top_groups(gmj, kg, ngroups)
+    ref_gidx = jnp.sort(ref_gidx, axis=-1)
+    np.testing.assert_array_equal(np.asarray(gidx), np.asarray(ref_gidx))
+    np.testing.assert_array_equal(np.asarray(t), np.asarray(ref_t))
+
+
+@pytest.mark.parametrize("metric", [MetricType.L2, MetricType.INNER_PRODUCT])
+def test_rescore_select_matches_two_stage(metric, monkeypatch):
+    """The single-kernel rescore+select (in-kernel running top-k, k ≤ 32)
+    must match the two-stage Pallas rescore → masked lax.top_k pipeline
+    BIT-EXACTLY, including tie order under massive duplication and the
+    ntotal mask. (rescore_take is NOT the reference here — its batched-dot
+    accumulation shape differs by 1 ulp from the per-pass kernels.)"""
+    rng = np.random.default_rng(77)
+    nv, d, nq, k = 16384, 64, 16, 12
+    base = rng.standard_normal((nv // 4, d)).astype(np.float32)
+    xb = np.tile(base, (4, 1))                      # exact ties everywhere
+    db = jnp.asarray(xb).astype(jnp.bfloat16)
+    norms = _norms(jnp.asarray(xb))
+    q = jnp.asarray(rng.standard_normal((nq, d)).astype(np.float32))
+    nt = jnp.int32(nv - 300)                        # exercise the mask too
+    vals, ids, cert = pallas_fused.fused_search(
+        q, db, norms, nt, k=k, metric=metric, nv_eff=nv, interpret=True,
+        rescore_select=True)
+    # reference: the default two-stage pipeline (Pallas rescore + XLA top_k)
+    rvals, rids, rcert = pallas_fused.fused_search(
+        q, db, norms, nt, k=k, metric=metric, nv_eff=nv, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(rids))
+    np.testing.assert_array_equal(np.asarray(vals), np.asarray(rvals))
+    np.testing.assert_array_equal(np.asarray(cert), np.asarray(rcert))
+
+
+def test_selective_per_query_fallback(monkeypatch):
+    """VERDICT r3 ask #6: when SOME queries fail certification, only those
+    rows are re-run (gathered into a small NQ_PAD-aligned batch) — the
+    certified rows keep their fused results without recompute."""
+    from faiss_tpu import TpuIndexFlat
+    from faiss_tpu.ops import pallas_fused as pf
+
+    monkeypatch.setattr(pf, "fused_path_eligible",
+                        lambda **kw: kw["nv_eff"] >= 8192)
+    # force certificate failure for EXACTLY queries 3 and 17 by inflating
+    # their ε to +inf (deterministic, path-independent)
+    real_eps = pf._sweep_eps
+
+    def poisoned_eps(queries_f32, *a, **kw):
+        eps = real_eps(queries_f32, *a, **kw)
+        bad = jnp.zeros((queries_f32.shape[0],), bool
+                        ).at[jnp.array([3, 17])].set(True)
+        return jnp.where(bad, jnp.inf, eps)
+
+    monkeypatch.setattr(pf, "_sweep_eps", poisoned_eps)
+    xb, xq = make_data(16384, 32, 64)
+    idx = TpuIndexFlat(64)
+    idx.add(xb)
+    reruns = []
+    real_run = idx._run_search_fn
+
+    def spy_run(q, k, nq_pad, **kw):
+        reruns.append((nq_pad, kw))
+        return real_run(q, k, nq_pad, **kw)
+
+    idx._run_search_fn = spy_run
+    D, I = idx.search(xq, 10)
+    assert idx.fused_fallbacks == 1
+    # rerun batches must be the SMALL gathered batch (8 rows for 2 bad
+    # queries), never the full 32-row batch
+    rerun_shapes = [nqp for nqp, kw in reruns[1:]]
+    assert rerun_shapes and all(s == 8 for s in rerun_shapes), reruns
+    # results are exact for every row regardless
+    s = 2 * (xq.astype(np.float64) @ xb.astype(np.float64).T)
+    s -= (xb.astype(np.float64) ** 2).sum(1)[None, :]
+    order = np.argsort(-s, axis=1, kind="stable")[:, :10]
+    np.testing.assert_array_equal(np.asarray(I), order)

