@@ -365,6 +365,16 @@ class TpuIndexFlat:
         ``full_sweep`` forces the exact-pair nomination sweep (used by the
         two-tier certificate fallback before resorting to the plain path)."""
         nv_eff = _round_up(self.ntotal, ROW_TILE)
+        # tail-free sweep: align to the 16384-row direct tile whenever the
+        # HBM allocation already covers it (doubling growth → pow-2
+        # capacities, so big indexes always qualify). Masked padding rows
+        # are free; the fused program then contains ONE Mosaic sweep kernel
+        # instead of main+tail — a large compile-time win, and the fp32
+        # direct-pair e2e program only compiles at all in this form (r3c).
+        aligned = _round_up(self.ntotal, pallas_fused.DIRECT_BV)
+        if (self.ntotal and self.store.d_pad <= 128
+                and aligned <= self.store.capacity):
+            nv_eff = aligned
         tuning = self.tuning
         is_int8 = self.storage_type is StorageType.INT8
         is_f16 = self.storage_type is StorageType.FLOAT16

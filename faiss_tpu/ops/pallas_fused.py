@@ -387,6 +387,28 @@ def _sweep_call(kernel, db_args, q_hi, q_lo, vn, *, nv, d_pad, block_v,
     return out if direct else out.T
 
 
+_DN = (((1,), (1,)), ((), ()))  # contract d: (nq, d) × (rows, d) → (nq, rows)
+
+
+def _xla_tail_gm(dots, vn_t, *, metric, nq_pad):
+    """Tail group-maxes via plain XLA (rows [main, nv_eff), < DIRECT_BV).
+
+    When the direct-layout main covers the aligned prefix, the remainder
+    is at most 16383 rows. r2/early-r3 swept it with a SECOND transposed-
+    layout Mosaic kernel, which bloated every e2e program — the r3c bisect
+    showed the remote Mosaic compiler dying (broken pipe after ~30 min) on
+    the fp32 e2e program containing direct-pair main + transposed tail +
+    rescore, while each kernel compiled alone. A tail this small is
+    DMA-trivial (≤ 4 MB), so one XLA dot + reshape-max replaces the whole
+    kernel. Exactness: _sweep_eps budgets accumulation for ANY summation
+    order, so nomination may mix Pallas-MXU and XLA-dot arithmetic freely
+    (exact boundary ties always fail the strict certificate and fall
+    back). Slicing ≤ 4 MB here is fine — the never-slice-the-db rule
+    guards against materializing the multi-hundred-MB main operand."""
+    s = (2.0 * dots if metric is MetricType.L2 else dots) - vn_t[None, :]
+    return s.reshape(nq_pad, -1, GROUP).max(axis=-1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("metric", "nv_eff", "interpret", "sweep_passes",
@@ -455,15 +477,27 @@ def groupmax_scores(
             else:
                 parts.append(r)
         tail = nv_eff - main
-        if tail:
+        if tail and main:
+            dbt = jax.lax.slice_in_dim(db, main, nv_eff, axis=0)
+            a1 = jax.lax.dot_general(q1, dbt, _DN,
+                                     preferred_element_type=jnp.int32)
+            a2 = jax.lax.dot_general(q2, dbt, _DN,
+                                     preferred_element_type=jnp.int32)
+            dots = (b1[:, None] * a1.astype(jnp.float32)
+                    + b2[:, None] * a2.astype(jnp.float32))
+            t = _xla_tail_gm(
+                dots, jax.lax.slice_in_dim(vn_m, main, nv_eff, axis=0),
+                metric=metric, nq_pad=nq_pad)
+            parts.append(t)
+            if with_block_max:
+                bparts.append(jnp.max(t.reshape(
+                    nq_pad, -1, SUPERGROUP), axis=-1))
+        elif tail:
             t = _sweep_call(
-                _kernel_int8, (db,), q1, q2,
-                jax.lax.slice_in_dim(vn_m, main, nv_eff, axis=0
-                                     ).reshape(1, tail),
-                nv=tail, d_pad=d_pad,
-                block_v=_pick_block_v(d_pad, 1, tail, align=main),
+                _kernel_int8, (db,), q1, q2, vn_m.reshape(1, tail),
+                nv=tail, d_pad=d_pad, block_v=_pick_block_v(d_pad, 1, tail),
                 nq_pad=nq_pad, metric=metric, direct=False,
-                interpret=interpret, passes=2, row_offset=main,
+                interpret=interpret, passes=2,
                 db_itemsize=1, extra=betas, extra_cols=GROUP)
             parts.append(t)
             if with_block_max:
@@ -509,15 +543,31 @@ def groupmax_scores(
             else:
                 parts.append(r)
         tail = nv_eff - main
-        if tail:
+        if tail and main:
+            from ..storage import split_f16_bits
+
+            vh, vl = split_f16_bits(
+                jax.lax.slice_in_dim(db, main, nv_eff, axis=0))
+            dots = jax.lax.dot_general(q_hi, vh, _DN,
+                                       preferred_element_type=jnp.float32)
+            dots += jax.lax.dot_general(q_hi, vl, _DN,
+                                        preferred_element_type=jnp.float32)
+            if sweep_passes != 1:
+                dots += jax.lax.dot_general(
+                    q_lo, vh, _DN, preferred_element_type=jnp.float32)
+            t = _xla_tail_gm(
+                dots, jax.lax.slice_in_dim(vn_m, main, nv_eff, axis=0),
+                metric=metric, nq_pad=nq_pad)
+            parts.append(t)
+            if with_block_max:
+                bparts.append(jnp.max(t.reshape(
+                    nq_pad, -1, SUPERGROUP), axis=-1))
+        elif tail:
             t = _sweep_call(
-                kernel, (db,), q_hi, q_lo,
-                jax.lax.slice_in_dim(vn_m, main, nv_eff, axis=0
-                                     ).reshape(1, tail),
-                nv=tail, d_pad=d_pad,
-                block_v=_pick_block_v(d_pad, 2, tail, align=main),
+                kernel, (db,), q_hi, q_lo, vn_m.reshape(1, tail),
+                nv=tail, d_pad=d_pad, block_v=_pick_block_v(d_pad, 2, tail),
                 nq_pad=nq_pad, metric=metric, direct=False,
-                interpret=interpret, passes=npass, row_offset=main,
+                interpret=interpret, passes=npass,
                 db_itemsize=2, vmem_limit=PAIR_DIRECT_VMEM)
             parts.append(t)
             if with_block_max:
@@ -579,14 +629,30 @@ def groupmax_scores(
             else:
                 parts.append(r)
         tail = nv_eff - main
-        if tail:
+        if tail and main:
+            dh = jax.lax.slice_in_dim(db_split[0], main, nv_eff, axis=0)
+            dl = jax.lax.slice_in_dim(db_split[1], main, nv_eff, axis=0)
+            dots = jax.lax.dot_general(q_hi, dh, _DN,
+                                       preferred_element_type=jnp.float32)
+            dots += jax.lax.dot_general(q_hi, dl, _DN,
+                                        preferred_element_type=jnp.float32)
+            if npass != 1:
+                dots += jax.lax.dot_general(
+                    q_lo, dh, _DN, preferred_element_type=jnp.float32)
+            t = _xla_tail_gm(
+                dots, jax.lax.slice_in_dim(vn_m, main, nv_eff, axis=0),
+                metric=metric, nq_pad=nq_pad)
+            parts.append(t)
+            if with_block_max:
+                bparts.append(jnp.max(t.reshape(nq_pad, -1, SUPERGROUP),
+                                      axis=-1))
+        elif tail:
             t = _sweep_call(
                 pair_kernel, (db_split[0], db_split[1]), q_hi, q_lo,
-                vn_of(main, tail),
-                nv=tail, d_pad=d_pad,
-                block_v=_pick_block_v(d_pad, 4, tail, align=main),
+                vn_of(0, tail),
+                nv=tail, d_pad=d_pad, block_v=_pick_block_v(d_pad, 4, tail),
                 nq_pad=nq_pad, metric=metric, direct=False,
-                interpret=interpret, passes=npass + 1, row_offset=main)
+                interpret=interpret, passes=npass + 1)
             parts.append(t)
             if with_block_max:
                 bparts.append(jnp.max(t.reshape(nq_pad, -1, SUPERGROUP),
@@ -614,13 +680,25 @@ def groupmax_scores(
         else:
             parts.append(r)
     tail = nv_eff - main
-    if tail:
+    if tail and main:
+        dbt = jax.lax.slice_in_dim(db, main, nv_eff, axis=0)
+        dots = jax.lax.dot_general(q_hi, dbt, _DN,
+                                   preferred_element_type=jnp.float32)
+        if sweep_passes != 1:
+            dots += jax.lax.dot_general(q_lo, dbt, _DN,
+                                        preferred_element_type=jnp.float32)
+        t = _xla_tail_gm(
+            dots, jax.lax.slice_in_dim(vn_m, main, nv_eff, axis=0),
+            metric=metric, nq_pad=nq_pad)
+        parts.append(t)
+        if with_block_max:
+            bparts.append(jnp.max(t.reshape(nq_pad, -1, SUPERGROUP), axis=-1))
+    elif tail:
         t = _sweep_call(
-            bf16_kernel, (db,), q_hi, q_lo, vn_of(main, tail),
-            nv=tail, d_pad=d_pad,
-            block_v=_pick_block_v(d_pad, 2, tail, align=main),
+            bf16_kernel, (db,), q_hi, q_lo, vn_of(0, tail),
+            nv=tail, d_pad=d_pad, block_v=_pick_block_v(d_pad, 2, tail),
             nq_pad=nq_pad, metric=metric, direct=False, interpret=interpret,
-            passes=sweep_passes, row_offset=main)
+            passes=sweep_passes)
         parts.append(t)
         if with_block_max:
             bparts.append(jnp.max(t.reshape(nq_pad, -1, SUPERGROUP), axis=-1))

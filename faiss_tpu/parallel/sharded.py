@@ -495,6 +495,12 @@ class ShardedIndexFlat:
         db, norms, gids, ntotals, cap, split = self._assemble()
         max_local = max(s.store.ntotal for s in self.shards)
         nv_eff = min(cap, _round_up(max(max_local, 1), ROW_TILE))
+        # tail-free per-shard sweep when the equalized capacity covers the
+        # direct-tile alignment (see TpuIndexFlat._run_search_fn)
+        d_pad0 = self.shards[0].store.d_pad
+        aligned = _round_up(max(max_local, 1), pallas_fused.DIRECT_BV)
+        if max_local and d_pad0 <= 128 and aligned <= cap:
+            nv_eff = aligned
         chunk = self.tuning.chunk_v
         d_pad = self.shards[0].store.d_pad
         nq_local = nq_pad // self.num_replicas  # per replica group

@@ -556,3 +556,47 @@ def test_selective_per_query_fallback(monkeypatch):
     s -= (xb.astype(np.float64) ** 2).sum(1)[None, :]
     order = np.argsort(-s, axis=1, kind="stable")[:, :10]
     np.testing.assert_array_equal(np.asarray(I), order)
+
+
+@pytest.mark.parametrize("storage", ["bf16", "f32", "f16", "int8"])
+def test_xla_tail_matches_full_pallas_sweep(storage, monkeypatch):
+    """nv between direct-tile multiples splits into a direct-layout Pallas
+    main + an XLA-dot tail (r3c: the second Mosaic tail kernel crashed the
+    remote compiler on the fp32 e2e program). Results must match the
+    all-Pallas transposed sweep (values from the shared rescore; nomination
+    differences are certificate-covered)."""
+    from faiss_tpu.storage import (_quantize_int8_fn, encode_f16_bits,
+                                   split_f32_bf16, _split_stats_fn)
+
+    nv, d, nq, k = 16384 + 2048, 128, 16, 10
+    rng = np.random.default_rng(55)
+    xb = rng.standard_normal((nv, d)).astype(np.float32)
+    q = jnp.asarray(rng.standard_normal((nq, d)).astype(np.float32))
+    xbj = jnp.asarray(xb)
+    norms = jnp.sum(xbj * xbj, axis=-1)
+    kwargs = dict(k=k, metric=MetricType.L2, nv_eff=nv, interpret=True)
+    if storage == "bf16":
+        args = (q, xbj.astype(jnp.bfloat16), norms, jnp.int32(nv))
+    elif storage == "f32":
+        hi, lo = split_f32_bf16(xbj)
+        stats = _split_stats_fn(jnp.zeros((2,), jnp.float32), xbj, hi, lo)
+        args = (q, xbj, norms, jnp.int32(nv))
+        kwargs.update(db_split=(hi, lo), split_stats=stats)
+    elif storage == "f16":
+        stats = jnp.zeros((2,), jnp.float32)
+        args = (q, encode_f16_bits(xbj), norms, jnp.int32(nv))
+        kwargs.update(split_stats=stats)
+    else:
+        scales = jnp.asarray(
+            np.maximum(np.abs(xb).max(axis=0) / 127.0, 1e-12), jnp.float32)
+        db8, n8, vqmax, _ = _quantize_int8_fn(xbj, scales)
+        args = (q, db8, n8, jnp.int32(nv))
+        kwargs.update(scales=scales, int_norm_max=vqmax)
+    v1, i1, c1 = pallas_fused.fused_search(*args, **kwargs)
+    assert np.asarray(c1).all()
+    # force main=0: the whole sweep runs the transposed Pallas kernel
+    monkeypatch.setattr(pallas_fused, "DIRECT_BV", 1 << 30)
+    v2, i2, c2 = pallas_fused.fused_search(*args, **kwargs)
+    assert np.asarray(c2).all()
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))

