@@ -312,6 +312,12 @@ PAIR_DIRECT_VMEM = 64 * 1024 * 1024
 # code edits — the remote Mosaic compiler has crashed on some e2e program
 # combinations that include it
 PAIR_DIRECT_ENABLE = True
+# fp32 two-stage rescore (phase 3a pair scores in-kernel, phase 3b exact
+# HIGHEST on the top-(k+F32_CAND_PAD) masters only); certificate tier 2
+# (_pair_rescore_eps) keeps the exactness proof airtight
+F32_TWO_STAGE = True
+F32_CAND_PAD = 22  # pair-score near-ties beyond k that still get the exact
+#                    rescore; certificate tier-2 catches any shortfall
 
 
 def _sweep_call(kernel, db_args, q_hi, q_lo, vn, *, nv, d_pad, block_v,
@@ -928,22 +934,32 @@ def _rescore_dots(q0, q1, q2, v):
     return dots3(v)
 
 
-def _rescore_kernel(gidx_ref, q0_ref, q1_ref, q2_ref, *refs, metric, rj=1):
+def _rescore_kernel(gidx_ref, q0_ref, q1_ref, q2_ref, *refs, metric, rj=1,
+                    pair=False):
     """One grid step = one (8-query stripe, ``rj`` group ranks) pair: the
     stripe's 8 queries each contribute their ranks [jj·rj, (jj+1)·rj) via
     8·rj scalar-prefetched index maps (8·rj in-flight 32 KB gather
     DMAs/step). Query u's scores land in out row u — every out cell is
     written exactly once by static slices (no revisited blocks, no
     predication, and the validity mask rides the pre-masked vn stream
-    like the sweep's)."""
+    like the sweep's). ``pair`` gathers a second operand stream (the bf16
+    lo halves) and sums both dot sets — the fp32 two-stage rescore."""
     nblk = STRIPE * rj
-    db_refs, vn_refs, out_ref = refs[:nblk], refs[nblk:2 * nblk], refs[-1]
+    db_refs, out_ref = refs[:nblk], refs[-1]
+    if pair:
+        db2_refs = refs[nblk:2 * nblk]
+        vn_refs = refs[2 * nblk:3 * nblk]
+    else:
+        vn_refs = refs[nblk:2 * nblk]
     rows = []
     for u in range(STRIPE):
         parts = []
         for r in range(rj):
             v = db_refs[u * rj + r][:]
             acc = _rescore_dots(q0_ref[:], q1_ref[:], q2_ref[:], v)
+            if pair:
+                acc += _rescore_dots(q0_ref[:], q1_ref[:], q2_ref[:],
+                                     db2_refs[u * rj + r][:])
             if metric is MetricType.L2:
                 s = 2.0 * acc - vn_refs[u * rj + r][0, :][None, :]
             else:
@@ -964,6 +980,7 @@ def rescore_groups_pallas(
     nv_eff: int,
     interpret: bool = False,
     ranks_per_step: int = 1,
+    db2: jax.Array = None,    # bf16 lo halves: pair rescore (fp32 storage)
 ) -> jax.Array:
     """(nq_pad, kg·GROUP) fp32-true scores for each query's candidate groups.
 
@@ -1008,14 +1025,15 @@ def rescore_groups_pallas(
             return (0, gidx_ref[i * STRIPE + u, jj * rj + r])
         return vn_idx
 
+    db_specs = [pl.BlockSpec((GROUP, d_pad), mk_db_idx(u, r),
+                             memory_space=pltpu.VMEM)
+                for u in range(STRIPE) for r in range(rj)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nq_pad // STRIPE, kg // rj),
         in_specs=[pl.BlockSpec((STRIPE, d_pad), q_idx,
                                memory_space=pltpu.VMEM)] * 3
-        + [pl.BlockSpec((GROUP, d_pad), mk_db_idx(u, r),
-                        memory_space=pltpu.VMEM)
-           for u in range(STRIPE) for r in range(rj)]
+        + db_specs * (2 if db2 is not None else 1)
         + [pl.BlockSpec((1, GROUP), mk_vn_idx(u, r),
                         memory_space=pltpu.VMEM)
            for u in range(STRIPE) for r in range(rj)],
@@ -1024,8 +1042,11 @@ def rescore_groups_pallas(
             memory_space=pltpu.VMEM,
         ),
     )
-    kernel = functools.partial(_rescore_kernel, metric=metric, rj=rj)
-    args = [q0, q1, q2] + [dbs] * (STRIPE * rj) + [vn] * (STRIPE * rj)
+    kernel = functools.partial(_rescore_kernel, metric=metric, rj=rj,
+                               pair=db2 is not None)
+    args = [q0, q1, q2] + [dbs] * (STRIPE * rj) \
+        + ([db2] * (STRIPE * rj) if db2 is not None else []) \
+        + [vn] * (STRIPE * rj)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1320,6 +1341,41 @@ def _sweep_eps(queries_f32: jax.Array, db_norms: jax.Array, nv_eff: int,
     return _EPS_SLACK * eps
 
 
+def _pair_rescore_eps(queries_f32: jax.Array, db_norms: jax.Array,
+                      nv_eff: int, *, metric: MetricType, d_pad: int,
+                      split_stats=None):
+    """Tier-2 certificate bound for the fp32 two-stage rescore: strict upper
+    bound ε₂ on |pair_rescore(x) − exact_rescore(x)| for any stored row x,
+    where pair_rescore is the in-kernel 6-pass dot of the exact 3-way query
+    split against the stored bf16 (hi, lo) halves, and exact_rescore the
+    HIGHEST fp32 dot against the f32 master (phase 3b).
+
+    Same budgeting discipline as _sweep_eps (all products exact in f32,
+    any-order accumulation, both epilogues + the fl(t₂+ε₂) comparison):
+      dropped term:        Q·s₁           (q·(v − v_hi − v_lo); the query
+                                           split is exact, nothing dropped
+                                           on the q side)
+      pair accumulation:   (d+6)·u·Q·(V + s₀ + s₁)
+      exact accumulation:  2·d·u·Q·V      (HIGHEST dot envelope)
+      epilogue/comparison: 3·u·(2·Q·V + N) for L2, 2·u·Q·V for IP
+    """
+    Q = jnp.sqrt(jnp.sum(queries_f32 * queries_f32, axis=-1))
+    N = jnp.max(jax.lax.slice_in_dim(db_norms, 0, nv_eff, axis=0))
+    V = jnp.sqrt(N) * _QUANT_V
+    if split_stats is not None:
+        s0, s1 = split_stats[0], split_stats[1]
+    else:
+        s0, s1 = _LO_REL * V, _RESID_REL * V
+    eps = (Q * s1
+           + (d_pad + 6.0) * _U32 * Q * (V + s0 + s1)
+           + 2.0 * d_pad * _U32 * Q * V)
+    if metric is MetricType.L2:
+        eps = 2.0 * eps + 3.0 * _U32 * (2.0 * Q * V + N)
+    else:
+        eps = eps + 2.0 * _U32 * Q * V
+    return _EPS_SLACK * eps
+
+
 def _int8_query_pair(queries_f32: jax.Array, scales: jax.Array):
     """qs = q∘s ≈ β₁·q₁ + β₂·q₂ with q₁/q₂ int8 — the residual expansion
     the int8 sweep kernel consumes (q₂ quantizes the first residual, the
@@ -1483,6 +1539,7 @@ def fused_search(
 
     offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, GROUP), 2)
     cols = (gidx[:, :, None] * GROUP + offs).reshape(nq_pad, kg * GROUP)
+    t2 = None  # fp32 two-stage sets the tier-2 certificate threshold
     if pair_only:
         # pair-only HBM (f16 always; f32 keep_master=False): gather both
         # halves' group slices, reconstruct fp32 rows (exact hi+lo sum),
@@ -1531,10 +1588,50 @@ def fused_search(
             queries_f32, db, db_norms, gidx, ntotal,
             metric=metric, nv_eff=nv_eff, interpret=interpret,
         )
+    elif (db_split is not None and F32_TWO_STAGE
+          and nq_pad % STRIPE == 0
+          and k_eff + F32_CAND_PAD < kg * GROUP):
+        # fp32 rows, master + pair: TWO-STAGE rescore (r3). Stage 3a scores
+        # every candidate in-kernel against the stored bf16 (hi, lo) halves
+        # (6 exact-product passes — reads the same 4 B/elem the old XLA
+        # gather read, but never materializes the (nq, kg·G, d) row array:
+        # at 1M×128 nq=104 that array was ~95 MB written+reread, ~0.45 ms
+        # of pure glue). Stage 3b gathers ONLY the top-(k+pad) rows' f32
+        # masters (≤1 MB) and rescores them with the HIGHEST dot, so
+        # returned values/ids stay bit-identical to the plain fp32 path.
+        # Soundness: tier-2 certificate — any candidate NOT selected by the
+        # pair scores has exact score < t₂ + ε₂ (_pair_rescore_eps);
+        # certified queries are therefore still provably exact top-k.
+        s_pair = rescore_groups_pallas(
+            queries_f32, db_split[0], db_norms, gidx, ntotal,
+            metric=metric, nv_eff=nv_eff, interpret=interpret,
+            ranks_per_step=RESCORE_RANKS, db2=db_split[1],
+        )
+        m = k_eff + F32_CAND_PAD
+        _, ppos = jax.lax.top_k(s_pair, m)
+        t2 = jnp.take_along_axis(s_pair, ppos[:, m - 1:m], axis=-1)[:, 0]
+        # ascending candidate ids → stable top_k keeps the plain path's
+        # lowest-id tie order
+        ccols = jnp.sort(jnp.take_along_axis(cols, ppos, axis=-1), axis=-1)
+        rows = jnp.take(db, ccols.reshape(-1), axis=0).reshape(
+            nq_pad, m, d_pad)
+        dn = (((1,), (2,)), ((0,), (0,)))
+        dots = jax.lax.dot_general(
+            queries_f32, rows, dn,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                           # (nq_pad, m)
+        if metric is MetricType.L2:
+            vnc = jnp.take(db_norms, ccols.reshape(-1), axis=0)
+            s = 2.0 * dots - vnc.reshape(nq_pad, m)
+        else:
+            s = dots
+        cols = ccols
     else:
-        # fp32 rows: gather contiguous group slices (db reshaped one-row-per-
-        # group: ~6× faster than a row-granular take) + HIGHEST XLA dot so
-        # ids match the plain fp32 path bit-for-bit. (Negative result, v5e:
+        # fp32 rows, single-stage fallback (tiny kg or pair disabled):
+        # gather contiguous group slices (db reshaped one-row-per-group:
+        # ~6× faster than a row-granular take) + HIGHEST XLA dot so ids
+        # match the plain fp32 path bit-for-bit. (Negative result, v5e:
         # a scalar-prefetch Pallas block-copy gather measured SLOWER —
         # 1.64 vs 1.50 ms end-to-end — the extra buffer round trip outweighs
         # the DMA win, unlike the bf16 case where rescoring happens in-kernel.)
@@ -1573,6 +1670,11 @@ def fused_search(
                          single_pass=sweep_passes == 1,
                          split_stats=split_stats)
     certified = (t == NEG_INF) | (vals[:, k_eff - 1] >= t + eps)
+    if t2 is not None:
+        eps2 = _pair_rescore_eps(queries_f32, db_norms, nv_eff,
+                                 metric=metric, d_pad=d_pad,
+                                 split_stats=split_stats)
+        certified &= (t2 == NEG_INF) | (vals[:, k_eff - 1] >= t2 + eps2)
     return vals, ids, certified
 
 
