@@ -723,6 +723,7 @@ SUPERGROUP = 8  # level-2 fan-in for hierarchical group selection
 # groups route to the XLA _top_groups paths.
 SELECT_MAX_GROUPS = 16384
 SELECT_MAX_KG = 40
+FINAL_SELECT_ENABLE = True  # A/B toggle for the final-select kernel
 
 
 def _select_kernel(gm_ref, gidx_ref, t_ref, *, kg, block_q):
@@ -793,6 +794,69 @@ def select_groups_pallas(
         interpret=interpret,
     )(gmax)
     return out[0][:, :kg], out[1][:, 0]
+
+
+def _final_select_kernel(s_ref, vals_ref, pos_ref, *, k, block_q):
+    """Final top-k over one (block_q, ncand) rescored-score block: k
+    iterative max-extractions emitting DESCENDING values + their columns,
+    ties to the LOWEST column (bit-exact ``lax.top_k`` parity — candidate
+    columns are id-ascending in every caller). Same VPU idiom as
+    _select_kernel; replaces the XLA ``lax.top_k`` + two ``take_along_axis``
+    of the common tail (~0.05 ms at 1M×128, nq=104). Out cols ≥ k are
+    padding. NaN-laden input degrades garbage-in-garbage-out like
+    ``lax.top_k`` (the certificate comparison then fails → exact fallback);
+    the column clamp keeps downstream gathers in-bounds regardless."""
+    x = s_ref[:]
+    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    big = jnp.int32(1 << 30)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (block_q, 128), 1)
+    excl = jnp.zeros(x.shape, jnp.bool_)
+    vals = jnp.full((block_q, 128), NEG_INF, jnp.float32)
+    pos = jnp.zeros((block_q, 128), jnp.int32)
+    ncm = jnp.int32(x.shape[1] - 1)
+    for j in range(k):
+        xm = jnp.where(excl, -jnp.inf, x)
+        m = jnp.max(xm, axis=-1, keepdims=True)
+        # & ~excl: on an all-(−inf) row every entry ties with m == −inf,
+        # including already-extracted ones — without it column 0 would be
+        # re-emitted k times where lax.top_k yields 0,1,2,…
+        col = jnp.min(jnp.where((xm == m) & ~excl, iota, big),
+                      axis=-1, keepdims=True)
+        excl = excl | (iota == col)
+        vals = jnp.where(lane == j,
+                         jnp.broadcast_to(m, (block_q, 128)), vals)
+        pos = jnp.where(lane == j,
+                        jnp.broadcast_to(jnp.minimum(col, ncm),
+                                         (block_q, 128)), pos)
+    vals_ref[:] = vals
+    pos_ref[:] = pos
+
+
+def final_select_pallas(
+    s: jax.Array, k: int, *, interpret: bool = False
+) -> Tuple[jax.Array, jax.Array]:
+    """(descending top-k values, their columns) of each row of ``s`` —
+    drop-in for ``lax.top_k`` at small k (exact value/tie parity)."""
+    nq_pad, nc = s.shape
+    block_q = min(nq_pad, 128)
+    out = pl.pallas_call(
+        functools.partial(_final_select_kernel, k=k, block_q=block_q),
+        grid=(pl.cdiv(nq_pad, block_q),),
+        in_specs=[pl.BlockSpec((block_q, nc), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((block_q, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nq_pad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nq_pad, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(s)
+    return out[0][:, :k], out[1][:, :k]
 
 
 def _top_groups(
@@ -1651,12 +1715,19 @@ def fused_search(
         else:
             s = dots
     s = jnp.where(cols < ntotal, s, NEG_INF)
-    # indices-only top_k + value gather: consuming BOTH top_k outputs costs
-    # ~0.2 ms extra at this shape (slower XLA lowering); the gather from the
-    # tiny (nq, kg·G) score block reproduces the values exactly
-    _, pos = jax.lax.top_k(s, k_eff)
-    vals = jnp.take_along_axis(s, pos, axis=-1)
-    ids = jnp.take_along_axis(cols, pos, axis=-1)
+    if (FINAL_SELECT_ENABLE and k_eff <= SELECT_MAX_KG
+            and k_eff < s.shape[-1] <= SELECT_MAX_GROUPS):
+        # final top-k in-kernel (same extraction idiom as phase 2's select)
+        vals, pos = final_select_pallas(s, k_eff, interpret=interpret)
+        ids = jnp.take_along_axis(cols, pos, axis=-1)
+    else:
+        # indices-only top_k + value gather: consuming BOTH top_k outputs
+        # costs ~0.2 ms extra at this shape (slower XLA lowering); the
+        # gather from the tiny (nq, kg·G) score block reproduces the values
+        # exactly
+        _, pos = jax.lax.top_k(s, k_eff)
+        vals = jnp.take_along_axis(s, pos, axis=-1)
+        ids = jnp.take_along_axis(cols, pos, axis=-1)
 
     # certificate: the k-th rescored score strictly dominates anything a
     # non-nominated group could hold (its sweep max + ε) → provably exact.

@@ -42,8 +42,13 @@ class BenchResult:
 
 
 # ~25 ms tunnel RPC per dispatch amortizes over the in-flight window; the
-# on-device work per batch is ~1 ms, so depth 32 makes RPC negligible.
-PIPELINE_DEPTH = 32
+# on-device work per batch is ~1 ms. Depth swept on v5e r3 (1M×128 bf16,
+# scripts/tune_r3g.py): 32→33.5k, 64→38.0k, 96→40.4k, 128→37.6k,
+# 192→30.8k QPS — 96 is the knee before thread overhead wins. Single-
+# threaded async-token pipelining measured 10× WORSE (~31 ms/batch): axon
+# dispatch blocks on an RPC round trip per call, so concurrency must come
+# from threads.
+PIPELINE_DEPTH = 96
 WARMUP = 3
 ITERS = 10
 

@@ -634,3 +634,19 @@ def test_f32_two_stage_rescore_matches_single_stage(monkeypatch):
     s -= (xb.astype(np.float64) ** 2).sum(1)[None, :]
     order = np.argsort(-s, axis=1, kind="stable")[:, :k]
     np.testing.assert_array_equal(np.asarray(i1), order)
+
+
+def test_final_select_kernel_matches_lax_topk():
+    """final_select_pallas == lax.top_k (values AND tie order) on random
+    data with planted duplicates and -inf padding columns."""
+    rng = np.random.default_rng(11)
+    s = rng.standard_normal((16, 1792)).astype(np.float32)
+    s[:, 100] = s[:, 700] = s[:, 1500]          # planted cross-column ties
+    s[:, -64:] = -np.inf                        # masked padding
+    s[3, :] = -np.inf                           # fully-masked row
+    sj = jnp.asarray(s)
+    for k in (1, 10, 32):
+        v1, p1 = pallas_fused.final_select_pallas(sj, k, interpret=True)
+        v2, p2 = jax.lax.top_k(sj, k)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
