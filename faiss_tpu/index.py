@@ -69,6 +69,8 @@ def _build_search_fn(
     sweep_passes: int = 2,
     int8: bool = False,
     f16bits: bool = False,
+    hi_exact: bool = False,
+    f16_clean: bool = False,
 ):
     """Compile one search pipeline for a static (nv_eff, nq_pad, k) shape.
 
@@ -117,6 +119,8 @@ def _build_search_fn(
                              None if int8 or not split else split[2]),
                 scales=split[0] if int8 else None,
                 int_norm_max=split[1] if int8 else None,
+                hi_exact=hi_exact,
+                f16_clean=f16_clean,
             )
             if metric is MetricType.L2:
                 # kernel scores omit the rank-invariant −‖q‖² term; restore it
@@ -400,14 +404,26 @@ class TpuIndexFlat:
         # RNE error bound), stop paying the tier-1 rerun there and go
         # straight to the exact-pair sweep for that shape
         pair_storage = self.store.dtype not in (jnp.bfloat16, jnp.float16)
+        # hi_exact: the stored EXACT split statistics prove the lo/residual
+        # planes are all-zero (integer-valued data, e.g. SIFT) — the fused
+        # path then sweeps/rescores the hi bf16 plane alone, bit-identical
+        # at half the sweep traffic, and the reduced single-pass policy
+        # applies as if this were bf16 storage (RNE queries round exactly
+        # on such data's near-tie structure far more often than Gaussian)
+        hi_exact = (use_fused and not is_int8 and not is_f16
+                    and self.store.db_hi is not None
+                    and self.store.split_stats_host() == (0.0, 0.0))
+        # f16 bits proven subnormal/inf/NaN-free → lean in-kernel decode
+        f16_clean = is_f16 and self.store.f16_clean()
         sweep_passes = 2 if (full_sweep or nq_pad in self._no_reduced_sweep) \
-            else pallas_fused.pick_sweep_passes(nq_pad, pair_storage)
+            else pallas_fused.pick_sweep_passes(
+                nq_pad, pair_storage and not hi_exact)
         interpret = not self.res.capabilities.is_tpu
         pair_only = self.store.pair_only
         key = (
             "flat_search", nv_eff, self.store.d_pad, nq_pad, int(k),
             self.metric, self.storage_type, use_direct, use_fused,
-            tuning.chunk_v, pair_only, sweep_passes,
+            tuning.chunk_v, pair_only, sweep_passes, hi_exact, f16_clean,
         )
         fn = self.res.cached(
             key,
@@ -425,6 +441,8 @@ class TpuIndexFlat:
                 sweep_passes=sweep_passes,
                 int8=is_int8,
                 f16bits=is_f16,
+                hi_exact=hi_exact,
+                f16_clean=f16_clean,
             ),
         )
         split = ()

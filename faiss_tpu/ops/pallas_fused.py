@@ -260,16 +260,16 @@ def _kernel_split(qh_ref, ql_ref, dh_ref, dl_ref, vn_ref, *out_refs,
 
 
 def _kernel_f16_pair(qh_ref, ql_ref, db_ref, vn_ref, *out_refs,
-                     metric, block_v, nq_pad, direct=False):
+                     metric, block_v, nq_pad, direct=False, clean=False):
     """One nv tile, f16-bits storage (2 B/elem), FULL sweep: in-register
     decode of the int16 bit patterns to the exact bf16 (v_hi, v_lo) pair
     (storage.split_f16_bits) + three bf16 MXU passes qh·vh + qh·vl + ql·vh
     — identical arithmetic to _kernel_split but reading HALF the HBM
     (the reference reads f16 directly in its GEMM at the same 2 B/elem,
     simdgroup_gemm.metal:303)."""
-    from ..storage import split_f16_bits
+    from ..storage import split_f16_bits, split_f16_bits_clean
 
-    vh, vl = split_f16_bits(db_ref[:])
+    vh, vl = (split_f16_bits_clean if clean else split_f16_bits)(db_ref[:])
     dn = (((1,), (1,)), ((), ()))
     acc = jax.lax.dot_general(qh_ref[:], vh, dn,
                               preferred_element_type=jnp.float32)
@@ -282,12 +282,12 @@ def _kernel_f16_pair(qh_ref, ql_ref, db_ref, vn_ref, *out_refs,
 
 
 def _kernel_f16_1(q1_ref, _unused_ref, db_ref, vn_ref, *out_refs,
-                  metric, block_v, nq_pad, direct=False):
+                  metric, block_v, nq_pad, direct=False, clean=False):
     """f16-bits storage, REDUCED sweep: two passes q_rne·(v_hi + v_lo) over
     the in-register decoded pair (certified via _sweep_eps single_pass)."""
-    from ..storage import split_f16_bits
+    from ..storage import split_f16_bits, split_f16_bits_clean
 
-    vh, vl = split_f16_bits(db_ref[:])
+    vh, vl = (split_f16_bits_clean if clean else split_f16_bits)(db_ref[:])
     dn = (((1,), (1,)), ((), ()))
     acc = jax.lax.dot_general(q1_ref[:], vh, dn,
                               preferred_element_type=jnp.float32)
@@ -307,6 +307,10 @@ def _kernel_f16_1(q1_ref, _unused_ref, db_ref, vn_ref, *out_refs,
 # head). d_pad ≤ 128 keeps the raised budget comfortable.
 DIRECT_BV = 16384
 PAIR_DIRECT_VMEM = 64 * 1024 * 1024
+# fp32 pair sweeps run a 2× taller direct tile (2×8 MB halves): fewer grid
+# steps amortize the per-tile MXU ramp better when reading two operands.
+# Measured r3 (1M×128 f32 e2e, slope): bv=16384 → 1.16, 32768 → 1.10 ms.
+PAIR_DIRECT_BV = 32768
 # escape hatch: the direct-layout pair main (fp32 storage) is gated so the
 # compile-time bisect harness (scripts/tune_r3c.py) can toggle it without
 # code edits — the remote Mosaic compiler has crashed on some e2e program
@@ -418,7 +422,7 @@ def _xla_tail_gm(dots, vn_t, *, metric, nq_pad):
 @functools.partial(
     jax.jit,
     static_argnames=("metric", "nv_eff", "interpret", "sweep_passes",
-                     "with_block_max"),
+                     "with_block_max", "f16_clean"),
 )
 def groupmax_scores(
     queries_f32: jax.Array,    # (nq_pad, d_pad) fp32
@@ -433,6 +437,7 @@ def groupmax_scores(
     sweep_passes: int = 2,
     scales=None,               # int8 storage: (d_pad,) per-dim quant scales
     with_block_max: bool = False,  # also return per-8-group supergroup max
+    f16_clean: bool = False,   # int16 db: clean bits → lean in-kernel decode
 ) -> jax.Array:
     """(nq_pad, nv_eff/GROUP) per-group max of masked nomination scores.
 
@@ -533,6 +538,7 @@ def groupmax_scores(
         else:
             q_hi, q_lo = split_f32_bf16(queries_f32)
             kernel, npass = _kernel_f16_pair, 3
+        kernel = functools.partial(kernel, clean=f16_clean)
         main = (nv_eff // DIRECT_BV) * DIRECT_BV if d_pad <= 128 else 0
         parts, bparts = [], []
         # raised VMEM budget: the in-register decode's elementwise
@@ -550,9 +556,9 @@ def groupmax_scores(
                 parts.append(r)
         tail = nv_eff - main
         if tail and main:
-            from ..storage import split_f16_bits
+            from ..storage import split_f16_bits, split_f16_bits_clean
 
-            vh, vl = split_f16_bits(
+            vh, vl = (split_f16_bits_clean if f16_clean else split_f16_bits)(
                 jax.lax.slice_in_dim(db, main, nv_eff, axis=0))
             dots = jax.lax.dot_general(q_hi, vh, _DN,
                                        preferred_element_type=jnp.float32)
@@ -617,16 +623,19 @@ def groupmax_scores(
         return v.reshape(1, nv)
 
     if pair_sweep:
-        # direct-layout main (needs the raised VMEM budget for the 2×4 MB
-        # pair tiles — r3 win, see PAIR_DIRECT_VMEM) + transposed tail
-        main = ((nv_eff // DIRECT_BV) * DIRECT_BV
+        # direct-layout main (needs the raised VMEM budget for the pair
+        # tiles — r3 win, see PAIR_DIRECT_VMEM) + XLA tail. The tile is
+        # PAIR_DIRECT_BV when the db is big enough; the ≤(bv−1)-row
+        # remainder rides the existing XLA-dot tail.
+        bv = PAIR_DIRECT_BV if nv_eff >= PAIR_DIRECT_BV else DIRECT_BV
+        main = ((nv_eff // bv) * bv
                 if d_pad <= 128 and PAIR_DIRECT_ENABLE else 0)
         parts, bparts = [], []
         if main:
             r = _sweep_call(
                 pair_kernel, (db_split[0], db_split[1]), q_hi, q_lo,
                 vn_of(0, main),
-                nv=main, d_pad=d_pad, block_v=DIRECT_BV, nq_pad=nq_pad,
+                nv=main, d_pad=d_pad, block_v=bv, nq_pad=nq_pad,
                 metric=metric, direct=True, interpret=interpret,
                 passes=npass + 1, vmem_limit=PAIR_DIRECT_VMEM,
                 block_max=with_block_max)
@@ -966,11 +975,13 @@ HIER_MIN_GROUPS = 65536
 
 
 STRIPE = 8  # queries per rescore grid step (one NQ_PAD-aligned stripe)
+RESCORE_RANKS_PAIR = 4  # pair (db2) rescore: twice the operands per rank →
+#                         deeper DMA pipelining pays (r3j: 1.13 → 1.11 ms)
 RESCORE_RANKS = 2  # group ranks per step (16 in-flight gather DMAs;
 #                    measured 0.091 vs 0.117 ms at kg=14, 1M x 128, v5e r2)
 
 
-def _rescore_dots(q0, q1, q2, v):
+def _rescore_dots(q0, q1, q2, v, clean=False):
     """fp32-true dots of the exact 3-way query split against one gathered
     candidate block, for every storage representation:
       bf16 rows: 3 exact-product passes;
@@ -989,9 +1000,9 @@ def _rescore_dots(q0, q1, q2, v):
         return acc
 
     if v.dtype == jnp.int16:
-        from ..storage import split_f16_bits
+        from ..storage import split_f16_bits, split_f16_bits_clean
 
-        vh, vl = split_f16_bits(v)
+        vh, vl = (split_f16_bits_clean if clean else split_f16_bits)(v)
         return dots3(vh) + dots3(vl)
     if v.dtype != jnp.bfloat16:
         v = v.astype(jnp.bfloat16)
@@ -999,7 +1010,7 @@ def _rescore_dots(q0, q1, q2, v):
 
 
 def _rescore_kernel(gidx_ref, q0_ref, q1_ref, q2_ref, *refs, metric, rj=1,
-                    pair=False):
+                    pair=False, clean=False):
     """One grid step = one (8-query stripe, ``rj`` group ranks) pair: the
     stripe's 8 queries each contribute their ranks [jj·rj, (jj+1)·rj) via
     8·rj scalar-prefetched index maps (8·rj in-flight 32 KB gather
@@ -1020,7 +1031,8 @@ def _rescore_kernel(gidx_ref, q0_ref, q1_ref, q2_ref, *refs, metric, rj=1,
         parts = []
         for r in range(rj):
             v = db_refs[u * rj + r][:]
-            acc = _rescore_dots(q0_ref[:], q1_ref[:], q2_ref[:], v)
+            acc = _rescore_dots(q0_ref[:], q1_ref[:], q2_ref[:], v,
+                                clean=clean)
             if pair:
                 acc += _rescore_dots(q0_ref[:], q1_ref[:], q2_ref[:],
                                      db2_refs[u * rj + r][:])
@@ -1045,6 +1057,7 @@ def rescore_groups_pallas(
     interpret: bool = False,
     ranks_per_step: int = 1,
     db2: jax.Array = None,    # bf16 lo halves: pair rescore (fp32 storage)
+    f16_clean: bool = False,  # int16 db: clean bits → lean in-kernel decode
 ) -> jax.Array:
     """(nq_pad, kg·GROUP) fp32-true scores for each query's candidate groups.
 
@@ -1107,6 +1120,7 @@ def rescore_groups_pallas(
         ),
     )
     kernel = functools.partial(_rescore_kernel, metric=metric, rj=rj,
+                               clean=f16_clean,
                                pair=db2 is not None)
     args = [q0, q1, q2] + [dbs] * (STRIPE * rj) \
         + ([db2] * (STRIPE * rj) if db2 is not None else []) \
@@ -1517,6 +1531,8 @@ def fused_search(
     split_stats=None,          # (2,) f32 exact v-side split maxima (storage)
     scales=None,               # int8 storage: (d_pad,) per-dim quant scales
     int_norm_max=None,         # int8 storage: () f32 max ‖v_q‖ (certificate)
+    hi_exact: bool = False,    # caller-proven max‖v_lo‖ == max‖resid‖ == 0
+    f16_clean: bool = False,   # f16 bits proven subnormal/inf/NaN-free
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Full fused path: kernel group-max → top groups → gather+rescore.
 
@@ -1532,6 +1548,18 @@ def fused_search(
     is_int8 = db.dtype == jnp.int8
     pair_sweep = not is_int8 and (
         pair_only or db_split is not None or db.dtype != jnp.bfloat16)
+    # hi_exact (fp32/pair storage whose EXACT stored split statistics are
+    # zero — integer-valued data like SIFT descriptors, where v == v_hi and
+    # v_lo/residual are all-zero planes): sweep and stage-3a rescore read
+    # ONLY the hi bf16 plane. Bit-identical to the pair program (every
+    # dropped term is an exact f32 +0.0) at HALF the sweep HBM traffic, and
+    # the certificate needs no new analysis: _sweep_eps with stats (0, 0)
+    # already charges the dropped lo/residual passes exactly 0.
+    if hi_exact:
+        assert db_split is not None, "hi_exact requires the (hi, lo) pair"
+        sweep_db, sweep_split = db_split[0], None
+    else:
+        sweep_db, sweep_split = db, db_split
 
     # phase 1 — the Pallas sweep (fp32-grade nomination for every storage).
     # At large ngroups it also emits the per-supergroup maxes (free second
@@ -1544,17 +1572,18 @@ def fused_search(
             and kg * SUPERGROUP <= ngroups)
     if hier:
         gmax, bmax = groupmax_scores(
-            queries_f32, db, db_norms, ntotal, db_split,
+            queries_f32, sweep_db, db_norms, ntotal, sweep_split,
             metric=metric, nv_eff=nv_eff, interpret=interpret,
             sweep_passes=sweep_passes, scales=scales, with_block_max=True,
+            f16_clean=f16_clean,
         )
         gidx, t = _top_groups_from_bmax(gmax, bmax, kg, ngroups)
         gidx = jnp.sort(gidx, axis=-1)
     else:
         gmax = groupmax_scores(
-            queries_f32, db, db_norms, ntotal, db_split,
+            queries_f32, sweep_db, db_norms, ntotal, sweep_split,
             metric=metric, nv_eff=nv_eff, interpret=interpret,
-            sweep_passes=sweep_passes, scales=scales,
+            sweep_passes=sweep_passes, scales=scales, f16_clean=f16_clean,
         )
         # phase 2 — top-(k+pad) groups; t is the certificate threshold
         # (max un-nominated group-max). Small kg runs the Pallas select
@@ -1615,7 +1644,9 @@ def fused_search(
             r = jnp.take(pg, gidx.reshape(-1), axis=0)
             return r.reshape(nq_pad, kg * GROUP, d_pad).astype(jnp.float32)
 
-        rows = g_rows(db_split[0]) + g_rows(db_split[1])
+        rows = g_rows(db_split[0])
+        if not hi_exact:
+            rows = rows + g_rows(db_split[1])
         dn = (((1,), (2,)), ((0,), (0,)))
         dots = jax.lax.dot_general(
             queries_f32, rows, dn,
@@ -1647,7 +1678,8 @@ def fused_search(
         rescore = rescore_groups_take \
             if (rescore_take and db.dtype == jnp.bfloat16) else \
             functools.partial(rescore_groups_pallas,
-                              ranks_per_step=RESCORE_RANKS)
+                              ranks_per_step=RESCORE_RANKS,
+                              f16_clean=f16_clean)
         s = rescore(
             queries_f32, db, db_norms, gidx, ntotal,
             metric=metric, nv_eff=nv_eff, interpret=interpret,
@@ -1669,14 +1701,28 @@ def fused_search(
         s_pair = rescore_groups_pallas(
             queries_f32, db_split[0], db_norms, gidx, ntotal,
             metric=metric, nv_eff=nv_eff, interpret=interpret,
-            ranks_per_step=RESCORE_RANKS, db2=db_split[1],
+            ranks_per_step=RESCORE_RANKS_PAIR,
+            db2=None if hi_exact else db_split[1],
         )
         m = k_eff + F32_CAND_PAD
-        _, ppos = jax.lax.top_k(s_pair, m)
-        t2 = jnp.take_along_axis(s_pair, ppos[:, m - 1:m], axis=-1)[:, 0]
-        # ascending candidate ids → stable top_k keeps the plain path's
-        # lowest-id tie order
-        ccols = jnp.sort(jnp.take_along_axis(cols, ppos, axis=-1), axis=-1)
+        if (FINAL_SELECT_ENABLE and m <= SELECT_MAX_KG
+                and m < s_pair.shape[-1] <= SELECT_MAX_GROUPS):
+            # phase-2's extraction kernel: ASCENDING top-m positions (same
+            # selected set and final id order as top_k + sort) and the max
+            # UNSELECTED pair score — a strictly tighter tier-2 threshold
+            # than the m-th selected value, same soundness direction (any
+            # non-rescored candidate's pair score ≤ t2 by construction)
+            ppos, t2 = select_groups_pallas(s_pair, m, s_pair.shape[-1],
+                                            interpret=interpret)
+            ccols = jnp.take_along_axis(cols, ppos, axis=-1)
+        else:
+            _, ppos = jax.lax.top_k(s_pair, m)
+            t2 = jnp.take_along_axis(
+                s_pair, ppos[:, m - 1:m], axis=-1)[:, 0]
+            # ascending candidate ids → stable top_k keeps the plain
+            # path's lowest-id tie order
+            ccols = jnp.sort(jnp.take_along_axis(cols, ppos, axis=-1),
+                             axis=-1)
         rows = jnp.take(db, ccols.reshape(-1), axis=0).reshape(
             nq_pad, m, d_pad)
         dn = (((1,), (2,)), ((0,), (0,)))

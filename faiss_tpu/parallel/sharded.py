@@ -57,6 +57,8 @@ def _build_sharded_search_fn(
     sweep_passes: int = 2,
     int8: bool = False,
     f16bits: bool = False,
+    hi_exact: bool = False,
+    f16_clean: bool = False,
 ):
     """One shard_map program: local scan+select, ICI all-gather, k-merge.
 
@@ -86,6 +88,8 @@ def _build_sharded_search_fn(
                              None if int8 or not split else split[2][0]),
                 scales=split[0] if int8 else None,
                 int_norm_max=split[1][0] if int8 else None,
+                hi_exact=hi_exact,
+                f16_clean=f16_clean,
             )
             if metric is MetricType.L2:
                 # restore the rank-invariant −‖q‖² so cross-shard scores share
@@ -515,9 +519,20 @@ class ShardedIndexFlat:
             )
         )
         pair_storage = self.shards[0].store.dtype not in (jnp.bfloat16, jnp.float16)
+        # hi_exact needs EVERY shard's exact split statistics to be zero
+        # (see index.py — integer-valued data; bit-identical hi-plane sweep)
+        hi_exact = (use_fused
+                    and self.shards[0].store.db_hi is not None
+                    and all(s.store.split_stats_host() == (0.0, 0.0)
+                            for s in self.shards if s.store.ntotal))
+        f16_clean = (self.storage_type is StorageType.FLOAT16
+                     and any(s.store.ntotal for s in self.shards)
+                     and all(s.store.f16_clean()
+                             for s in self.shards if s.store.ntotal))
         sweep_passes = 2 if (full_sweep
                              or nq_local in self._no_reduced_sweep) \
-            else pallas_fused.pick_sweep_passes(nq_local, pair_storage)
+            else pallas_fused.pick_sweep_passes(
+                nq_local, pair_storage and not hi_exact)
         interpret = not self.res.capabilities.is_tpu
         pair_only = self.shards[0].store.pair_only
         is_int8 = self.storage_type is StorageType.INT8
@@ -525,7 +540,7 @@ class ShardedIndexFlat:
         key = ("sharded_search", self.num_shards, self.num_replicas, nv_eff,
                cap, d_pad, nq_pad, int(k), self.metric,
                self.storage_type, chunk, use_fused, use_split, pair_only,
-               sweep_passes)
+               sweep_passes, hi_exact, f16_clean)
         fn = self.res.cached(
             key,
             lambda: _build_sharded_search_fn(
@@ -535,6 +550,8 @@ class ShardedIndexFlat:
                 pair_only=pair_only, sweep_passes=sweep_passes,
                 int8=is_int8,
                 f16bits=self.storage_type is StorageType.FLOAT16,
+                hi_exact=hi_exact,
+                f16_clean=f16_clean,
             ),
         )
         args = (db, norms, gids, ntotals, q) + (split if use_split else ())

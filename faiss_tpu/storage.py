@@ -115,6 +115,29 @@ def split_f16_bits(bits: jax.Array):
     return hi, lo
 
 
+def split_f16_bits_clean(bits: jax.Array):
+    """split_f16_bits for CLEAN bit patterns — caller has proven (exact
+    encode-time counter, DeviceStore.f16_clean) that no stored element is
+    an f16 subnormal, inf, or NaN. Drops the magic-add subnormal path, the
+    two range selects, and the f32 round trip of the generic decode: ~15
+    VPU ops/element vs ~25 (the f16 sweep is VPU-decode-bound — r3e
+    measured 0.995 ms of a 1.2 ms e2e in the decode-heavy sweep). Bit-
+    identical to split_f16_bits on every clean pattern (normals and ±0;
+    the sign bit rides the pre-scale bits so −0 round-trips), enforced by
+    tests/test_storage_modes.py."""
+    h = bits.astype(jnp.int32) & 0xFFFF
+    o = ((h & 0x7FFF) << 13) | ((h & 0x8000) << 16)
+    # e5 ≥ 1 for clean nonzero patterns → the pre-scale f32 is NORMAL
+    # (exp field = e5 ∈ [1, 30]) — no TPU denormal flush; ×2^112 exact
+    f = jax.lax.bitcast_convert_type(o, jnp.float32) * jnp.float32(2.0 ** 112)
+    uf = jax.lax.bitcast_convert_type(f, jnp.uint32)
+    hi_f32 = jax.lax.bitcast_convert_type(uf & jnp.uint32(0xFFFF0000),
+                                          jnp.float32)
+    hi = hi_f32.astype(jnp.bfloat16)  # exact: already bf16-representable
+    lo = (f - hi_f32).astype(jnp.bfloat16)  # exact ≤3-bit residual
+    return hi, lo
+
+
 @jax.jit
 def encode_f16_bits(x: jax.Array) -> jax.Array:
     """fp32 → f16 (RNE, XLA convert) → int16 bit patterns for HBM."""
@@ -279,6 +302,11 @@ class DeviceStore:
         # (2,) f32 [max‖v_lo‖, max‖v−hi−lo‖] over stored rows (split modes
         # only) — exact certificate bounds, see _split_stats_fn
         self.split_stats: Optional[jax.Array] = None
+        self._split_stats_host: Optional[tuple] = None  # lazy host mirror
+        # f16 storage: running count of subnormal/inf/NaN bit patterns —
+        # 0 lets kernels run the lean clean-bits decode (split_f16_bits_clean)
+        self._f16_dirty: Optional[jax.Array] = None  # () f32 device counter
+        self._f16_clean_host: Optional[bool] = None
         # int8 storage: per-dim quantization scales (d_pad,) f32 from
         # train(), and the running max ‖v_q‖ (certificate bound)
         self.scales: Optional[jax.Array] = None
@@ -416,9 +444,20 @@ class DeviceStore:
         — split_f16_bits — so stats over the decoded pair are exact even
         though f16 stores only the 2 B bit patterns)."""
         if self.storage is StorageType.FLOAT16:
-            v32 = decode_f16_bits(vecs) if vecs.dtype == jnp.int16 \
-                else vecs.astype(jnp.float32)
+            bits = vecs if vecs.dtype == jnp.int16 else \
+                jax.lax.bitcast_convert_type(
+                    vecs.astype(jnp.float16), jnp.int16)
+            v32 = decode_f16_bits(bits)
             hi, lo = split_f32_bf16(v32)  # exact for f16 values (≤11 bits)
+            # exact dirty-pattern counter: inf/NaN keeps the kernels on
+            # the generic decode (split_f16_bits_clean needs clean bits);
+            # subnormals were flushed to ±0 at ingest (_append), so any
+            # well-formed finite data is clean. Padding columns are +0.
+            h = bits.astype(jnp.int32) & 0xFFFF
+            dirty = jnp.sum(((h & 0x7C00) == 0x7C00).astype(jnp.float32))
+            self._f16_dirty = dirty if self._f16_dirty is None \
+                else self._f16_dirty + dirty
+            self._f16_clean_host = None
         elif self._has_split:
             v32 = vecs.astype(jnp.float32)
             hi, lo = split_f32_bf16(v32)
@@ -429,6 +468,31 @@ class DeviceStore:
         if self.split_stats is None:
             self.split_stats = self._put(jnp.zeros((2,), jnp.float32))
         self.split_stats = _split_stats_fn(self.split_stats, v32, hi, lo)
+        self._split_stats_host = None  # new rows → refresh the mirror
+
+    def split_stats_host(self) -> tuple:
+        """Host copy of the exact (max‖v_lo‖, max‖v−hi−lo‖) statistics
+        (one device_get per add batch, cached). (0.0, 0.0) proves the lo /
+        residual planes are all-zero — integer-valued data — which lets the
+        fused dispatch sweep the hi plane alone (pallas_fused hi_exact) with
+        bit-identical results at half the sweep HBM traffic."""
+        if self.split_stats is None:
+            return (float("inf"), float("inf"))
+        if self._split_stats_host is None:
+            s = jax.device_get(self.split_stats)
+            self._split_stats_host = (float(s[0]), float(s[1]))
+        return self._split_stats_host
+
+    def f16_clean(self) -> bool:
+        """True when every stored f16 bit pattern is a normal or ±0 (exact
+        encode-time counter, lazily mirrored to host): kernels then run the
+        lean split_f16_bits_clean decode, bit-identically."""
+        if self.storage is not StorageType.FLOAT16 or self._f16_dirty is None:
+            return False
+        if self._f16_clean_host is None:
+            self._f16_clean_host = (
+                float(jax.device_get(self._f16_dirty)) == 0.0)
+        return self._f16_clean_host
 
     def pad_queries(self, q: jax.Array) -> jax.Array:
         """Pad (nq, d) fp32 queries to (nq, d_pad)."""
@@ -516,10 +580,20 @@ class DeviceStore:
         """Append stored-dtype rows + norms at self.ntotal (pair-aware).
         f16 rows arriving as float16 values (io restore path) are
         bitcast to the int16 HBM representation."""
-        if (self.storage is StorageType.FLOAT16
-                and vecs.dtype != jnp.int16):
-            vecs = jax.lax.bitcast_convert_type(
-                vecs.astype(jnp.float16), jnp.int16)
+        if self.storage is StorageType.FLOAT16:
+            if vecs.dtype != jnp.int16:
+                vecs = jax.lax.bitcast_convert_type(
+                    vecs.astype(jnp.float16), jnp.int16)
+            # flush f16 subnormals to ±0 at ingest (values < 2^-14 ≈ 6.1e-5;
+            # the TPU itself flushes f32 denormals in every on-device op, so
+            # this makes storage consistent with the arithmetic) — the lean
+            # clean-bits kernel decode then applies to ALL well-formed data,
+            # not just data without near-zeros. Search exactness is always
+            # w.r.t. the STORED database; norms are computed from fp32
+            # pre-quantization either way (see add()).
+            sub = ((vecs & jnp.int16(0x7C00)) == 0) \
+                & ((vecs & jnp.int16(0x3FF)) != 0)
+            vecs = jnp.where(sub, vecs & jnp.int16(-0x8000), vecs)
         self._update_split(vecs, self.ntotal)
         if self.pair_only:
             self.norms = _append_norms_jit(self.norms, new_norms, self.ntotal)
@@ -585,6 +659,9 @@ class DeviceStore:
         self.db_lo = None
         self._host_rows = []
         self.split_stats = None
+        self._split_stats_host = None
+        self._f16_dirty = None
+        self._f16_clean_host = None
         self.int_norm_max = None
         self._int8_clipped = None
         self._int8_elems = 0

@@ -650,3 +650,64 @@ def test_final_select_kernel_matches_lax_topk():
         v2, p2 = jax.lax.top_k(sj, k)
         np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
         np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+@pytest.mark.parametrize("metric", [MetricType.L2, MetricType.INNER_PRODUCT])
+def test_hi_exact_bit_identical_on_integer_data(metric):
+    """Integer-valued fp32 data (SIFT-like): the exact split statistics are
+    zero, and the hi-plane-only program (hi_exact=True) must return results
+    BIT-identical to the full pair program — the dropped lo/residual passes
+    are exact f32 +0.0s."""
+    from faiss_tpu.storage import split_f32_bf16, _split_stats_fn
+
+    rng = np.random.default_rng(7)
+    xb = rng.integers(0, 218, (16384, 64)).astype(np.float32)
+    xq = rng.standard_normal((16, 64)).astype(np.float32)
+    db, q = jnp.asarray(xb), jnp.asarray(xq)
+    hi, lo = split_f32_bf16(db)
+    stats = _split_stats_fn(jnp.zeros((2,), jnp.float32), db, hi, lo)
+    assert tuple(np.asarray(stats)) == (0.0, 0.0)
+    norms = _norms(db)
+    nt = jnp.int32(16384)
+    kw = dict(k=10, metric=metric, nv_eff=16384, interpret=True,
+              db_split=(hi, lo), split_stats=stats)
+    v0, i0, c0 = pallas_fused.fused_search(q, db, norms, nt, **kw)
+    v1, i1, c1 = pallas_fused.fused_search(q, db, norms, nt,
+                                           hi_exact=True, **kw)
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    assert np.asarray(c1).all()  # zero stats → certifies everywhere
+
+
+def test_hi_exact_index_dispatch_integer_data():
+    """TpuIndexFlat on integer data: split_stats_host reads (0, 0), the
+    fused search stays exact vs the plain path, and fallbacks stay 0."""
+    from faiss_tpu import TpuIndexFlat
+
+    rng = np.random.default_rng(11)
+    xb = rng.integers(0, 218, (20000, 96)).astype(np.float32)
+    xq = rng.standard_normal((24, 96)).astype(np.float32)
+    idx = TpuIndexFlat(96, metric="l2", storage="f32")
+    idx.add(xb)
+    assert idx.store.split_stats_host() == (0.0, 0.0)
+    D1, I1 = idx.search(xq, 12)
+    idx.set_force_xla(True)
+    try:
+        D2, I2 = idx.search(xq, 12)
+    finally:
+        idx.set_force_xla(False)
+    np.testing.assert_array_equal(I1, I2)
+    np.testing.assert_allclose(D1, D2, rtol=1e-6, atol=1e-5)
+    assert idx.fused_fallbacks == 0
+    # Gaussian rows added later break the zero-stats property: the dispatch
+    # must drop hi_exact and stay exact
+    idx.add(rng.standard_normal((4096, 96)).astype(np.float32))
+    assert idx.store.split_stats_host() != (0.0, 0.0)
+    D3, I3 = idx.search(xq, 12)
+    idx.set_force_xla(True)
+    try:
+        D4, I4 = idx.search(xq, 12)
+    finally:
+        idx.set_force_xla(False)
+    np.testing.assert_array_equal(I3, I4)
