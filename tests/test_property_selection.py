@@ -202,3 +202,48 @@ def test_fused_random_configs(seed):
     # certified queries must match the oracle EXACTLY (ids, not just values)
     c = np.asarray(cert)
     np.testing.assert_array_equal(np.asarray(ids)[c], order[c])
+
+
+_T2_CASES = [  # (metric, db_scale)
+    (MetricType.L2, 1.0),
+    (MetricType.L2, 316.0),            # norm-skewed db (ADVICE r2 regime)
+    (MetricType.INNER_PRODUCT, 1.0),
+]
+
+
+@pytest.mark.parametrize("case", range(len(_T2_CASES)))
+def test_pair_rescore_eps_sound(case):
+    """Tier-2 certificate soundness (fp32 two-stage): for EVERY stored row,
+    |in-kernel pair rescore − exact HIGHEST master rescore| ≤ ε₂
+    (_pair_rescore_eps) — the inequality the t2 clause relies on. Near-tie
+    and norm-skewed cases included."""
+    from faiss_tpu.storage import split_f32_bf16, _split_stats_fn
+
+    metric, db_scale = _T2_CASES[case]
+    nv, d, nq = 1024, 128, 64
+    rng = np.random.default_rng(7000 + case)
+    xb = rng.standard_normal((nv, d)).astype(np.float32) * db_scale
+    xb[7] = xb[3] * (1 + np.float32(2.0 ** -22))   # planted near-tie
+    xq = rng.standard_normal((nq, d)).astype(np.float32)
+    q, db = jnp.asarray(xq), jnp.asarray(xb)
+    hi, lo = split_f32_bf16(db)
+    stats = _split_stats_fn(jnp.zeros((2,), jnp.float32), db, hi, lo)
+    norms = jnp.sum(db * db, axis=-1, dtype=jnp.float32)
+    ng = nv // 128
+    gidx = jnp.broadcast_to(jnp.arange(ng, dtype=jnp.int32)[None], (nq, ng))
+    s_pair = pallas_fused.rescore_groups_pallas(
+        q, hi, norms, gidx, jnp.int32(nv), metric=metric, nv_eff=nv,
+        interpret=True, ranks_per_step=pallas_fused.RESCORE_RANKS_PAIR,
+        db2=lo)
+    dots = jax.lax.dot_general(
+        q, db, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    s_exact = 2.0 * dots - norms[None, :] if metric is MetricType.L2 \
+        else dots
+    eps2 = pallas_fused._pair_rescore_eps(
+        q, norms, nv, metric=metric, d_pad=d, split_stats=stats)
+    gap = np.abs(np.asarray(s_pair) - np.asarray(s_exact))
+    viol = gap - np.asarray(eps2)[:, None]
+    assert (viol <= 0).all(), (case, float(viol.max()))
+    assert np.asarray(eps2).max() >= gap.max()  # non-vacuous both ways
