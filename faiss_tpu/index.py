@@ -388,6 +388,16 @@ class TpuIndexFlat:
             and nv_eff <= dist_ops.DIRECT_PATH_MAX_NV * 4
             and nq_pad * nv_eff * self.store.d_pad <= DIRECT_PATH_MAX_ELEMS
         )
+        # hi_exact: the stored EXACT split statistics prove the lo/residual
+        # planes are all-zero (integer-valued data, e.g. SIFT) — the fused
+        # path then sweeps/rescores the hi bf16 plane alone, bit-identical
+        # at half the sweep traffic, the cost gate sees the EFFECTIVE
+        # 2 B/elem sweep, and the reduced single-pass policy applies as if
+        # this were bf16 storage (RNE queries round exactly on such data's
+        # near-tie structure far more often than Gaussian)
+        stats_zero = (not is_int8 and not is_f16
+                      and self.store.db_hi is not None
+                      and self.store.split_stats_host() == (0.0, 0.0))
         use_fused = (
             not force_plain
             and not self._force_xla
@@ -395,7 +405,8 @@ class TpuIndexFlat:
             and pallas_fused.fused_path_eligible(
                 metric=self.metric, k=int(k), nv_eff=nv_eff,
                 d_pad=self.store.d_pad, nq_pad=nq_pad,
-                itemsize=jnp.dtype(self.store.dtype).itemsize,
+                itemsize=2 if stats_zero
+                else jnp.dtype(self.store.dtype).itemsize,
                 dtype=self.store.dtype,
             )
         )
@@ -404,15 +415,7 @@ class TpuIndexFlat:
         # RNE error bound), stop paying the tier-1 rerun there and go
         # straight to the exact-pair sweep for that shape
         pair_storage = self.store.dtype not in (jnp.bfloat16, jnp.float16)
-        # hi_exact: the stored EXACT split statistics prove the lo/residual
-        # planes are all-zero (integer-valued data, e.g. SIFT) — the fused
-        # path then sweeps/rescores the hi bf16 plane alone, bit-identical
-        # at half the sweep traffic, and the reduced single-pass policy
-        # applies as if this were bf16 storage (RNE queries round exactly
-        # on such data's near-tie structure far more often than Gaussian)
-        hi_exact = (use_fused and not is_int8 and not is_f16
-                    and self.store.db_hi is not None
-                    and self.store.split_stats_host() == (0.0, 0.0))
+        hi_exact = use_fused and stats_zero
         # f16 bits proven subnormal/inf/NaN-free → lean in-kernel decode
         f16_clean = is_f16 and self.store.f16_clean()
         sweep_passes = 2 if (full_sweep or nq_pad in self._no_reduced_sweep) \

@@ -508,23 +508,25 @@ class ShardedIndexFlat:
         chunk = self.tuning.chunk_v
         d_pad = self.shards[0].store.d_pad
         nq_local = nq_pad // self.num_replicas  # per replica group
+        # hi_exact needs EVERY shard's exact split statistics to be zero
+        # (see index.py — integer-valued data; bit-identical hi-plane sweep,
+        # and the cost gate sees the effective 2 B/elem sweep)
+        stats_zero = (self.shards[0].store.db_hi is not None
+                      and all(s.store.split_stats_host() == (0.0, 0.0)
+                              for s in self.shards if s.store.ntotal))
         use_fused = (
             not force_plain
             and not self._force_xla
             and pallas_fused.fused_path_eligible(
                 metric=self.metric, k=int(k), nv_eff=nv_eff, d_pad=d_pad,
                 nq_pad=nq_local,
-                itemsize=jnp.dtype(self.shards[0].store.dtype).itemsize,
+                itemsize=2 if stats_zero
+                else jnp.dtype(self.shards[0].store.dtype).itemsize,
                 dtype=self.shards[0].store.dtype,
             )
         )
         pair_storage = self.shards[0].store.dtype not in (jnp.bfloat16, jnp.float16)
-        # hi_exact needs EVERY shard's exact split statistics to be zero
-        # (see index.py — integer-valued data; bit-identical hi-plane sweep)
-        hi_exact = (use_fused
-                    and self.shards[0].store.db_hi is not None
-                    and all(s.store.split_stats_host() == (0.0, 0.0)
-                            for s in self.shards if s.store.ntotal))
+        hi_exact = use_fused and stats_zero
         f16_clean = (self.storage_type is StorageType.FLOAT16
                      and any(s.store.ntotal for s in self.shards)
                      and all(s.store.f16_clean()
