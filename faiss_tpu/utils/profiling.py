@@ -128,7 +128,13 @@ def bench_grid(index_factory, configs: Iterable[dict],
     rng = np.random.default_rng(42)
     for cfg in configs:
         metric = cfg.get("metric", "l2")
-        xb = rng.standard_normal((cfg["nv"], cfg["d"]), dtype=np.float32)
+        if cfg.get("data") == "int":
+            # SIFT-like integer descriptors: exact split stats are zero →
+            # fp32 storage dispatches the hi_exact fused path
+            xb = rng.integers(0, 218, (cfg["nv"], cfg["d"])).astype(
+                np.float32)
+        else:
+            xb = rng.standard_normal((cfg["nv"], cfg["d"]), dtype=np.float32)
         xq = rng.standard_normal((cfg["nq"], cfg["d"]), dtype=np.float32)
         idx = index_factory(cfg["d"], metric, cfg["storage"])
         idx.add(xb)
@@ -165,6 +171,8 @@ DEFAULT_GRID = [
     dict(name="sift1m-shape", nv=1_000_000, nq=100, d=128, k=10, storage="bf16"),
     dict(name="sift1m-shape.int8", nv=1_000_000, nq=100, d=128, k=10,
          storage="int8"),
+    dict(name="sift1m-int.f32", nv=1_000_000, nq=100, d=128, k=10,
+         storage="f32", data="int"),
 ]
 
 
