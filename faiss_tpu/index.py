@@ -547,6 +547,11 @@ class TpuIndexFlat:
         if self.storage_type is StorageType.INT8:
             int8_note = (f"int8_clipped_fraction="
                          f"{self.store.int8_clipped_fraction:.2e}, ")
+        elif self.storage_type is StorageType.FLOAT16:
+            int8_note = f"f16_clean={self.store.f16_clean()}, "
+        elif self.store.db_hi is not None and self.ntotal:
+            int8_note = (f"hi_exact="
+                         f"{self.store.split_stats_host() == (0.0, 0.0)}, ")
         return (
             f"TpuIndexFlat(d={self.d}, metric={self.metric.value}, "
             f"storage={self.storage_type.value}, ntotal={self.ntotal}, "
