@@ -75,3 +75,20 @@ def test_bad_format(tmp_path):
     open(p, "wb").write(b"xx")
     with pytest.raises(ValueError):
         list(loader.iter_file_batches(p))
+
+
+def test_integer_file_ingest_dispatches_hi_exact(tmp_path):
+    """SIFT-like integer descriptors streamed from disk prove zero split
+    statistics, so the fp32 index dispatches the hi_exact fused path — and
+    multi-batch ingest must preserve the property (the stats are a running
+    max across add() calls)."""
+    rng = np.random.default_rng(4)
+    xb = rng.integers(0, 218, (3000, 32)).astype(np.float32)
+    p = os.path.join(tmp_path, "sift.fvecs")
+    _write_fvecs(p, xb)
+    idx = loader.build_index_from_file(p, batch_rows=700)  # 5 add batches
+    assert idx.store.split_stats_host() == (0.0, 0.0)
+    xq = rng.standard_normal((8, 32)).astype(np.float32)
+    D, I = idx.search(xq, 5)
+    Dr, Ir = numpy_search(xb, xq, 5)
+    assert recall_at_k(I, Ir, 5) == 1.0
