@@ -474,9 +474,17 @@ class TpuIndexFlat:
             q, k, nq_pad, force_plain=False)
         fallback = None
         if use_fused:
+            # mirror _run_search_fn's dispatch: hi_exact (zero stored
+            # split stats) makes fp32 eligible for the reduced sweep, so a
+            # cert failure there must take the tier-1 rerun AND pin the
+            # shape — otherwise it would re-fail every batch
+            pair_st = (self.store.dtype not in (jnp.bfloat16, jnp.float16)
+                       and not (self.store.db_hi is not None
+                                and self.store.split_stats_host()
+                                == (0.0, 0.0)))
             reduced = (nq_pad not in self._no_reduced_sweep
                        and pallas_fused.pick_sweep_passes(
-                           nq_pad, self.store.dtype not in (jnp.bfloat16, jnp.float16)) == 1)
+                           nq_pad, pair_st) == 1)
 
             def fallback(cert_h, d0, i0):
                 # certificate failed (near-ties at the nomination boundary)

@@ -570,10 +570,18 @@ class ShardedIndexFlat:
         fallback = None
         if use_fused:
             nq_local = nq_pad // self.num_replicas
+            # mirror _run_search_fn's dispatch (see index.py): hi_exact
+            # fp32 runs the reduced sweep, so its cert failures must pin
+            pair_st = (self.shards[0].store.dtype
+                       not in (jnp.bfloat16, jnp.float16)
+                       and not (self.shards[0].store.db_hi is not None
+                                and all(s.store.split_stats_host()
+                                        == (0.0, 0.0)
+                                        for s in self.shards
+                                        if s.store.ntotal)))
             reduced = (nq_local not in self._no_reduced_sweep
                        and pallas_fused.pick_sweep_passes(
-                           nq_local,
-                           self.shards[0].store.dtype not in (jnp.bfloat16, jnp.float16)) == 1)
+                           nq_local, pair_st) == 1)
 
             def fallback(cert_h, d0, i0):
                 # a shard's certificate failed for SOME queries: gather only
