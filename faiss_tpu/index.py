@@ -458,10 +458,14 @@ class TpuIndexFlat:
             split = (self.store.db_hi, self.store.db_lo,
                      self.store.split_stats)
         db_arg = self.store.db if self.store.db is not None else self.store.db_hi
+        # the last element tells the fallback whether THIS search ran the
+        # reduced single-pass sweep (tier-1 rerun + shape pinning apply);
+        # returning it beats re-deriving the dispatch at the call site,
+        # which drifted once already (hi_exact, commit 5de30c8)
         return fn(
             db_arg, self.store.norms, q, self.store.ntotal_dev,
             *split,
-        ) + (use_fused,)
+        ) + (use_fused, use_fused and sweep_passes == 1)
 
     def _search_device(self, x: np.ndarray, k: int):
         """Enqueue the search; returns an unrealized token + nq."""
@@ -470,22 +474,10 @@ class TpuIndexFlat:
         q, nq, nq_pad = self._prep_queries(x)
         if self.ntotal == 0:
             return None, nq, nq_pad  # resolved on host, reference mm:328-334
-        dists, labels, cert, use_fused = self._run_search_fn(
+        dists, labels, cert, use_fused, reduced = self._run_search_fn(
             q, k, nq_pad, force_plain=False)
         fallback = None
         if use_fused:
-            # mirror _run_search_fn's dispatch: hi_exact (zero stored
-            # split stats) makes fp32 eligible for the reduced sweep, so a
-            # cert failure there must take the tier-1 rerun AND pin the
-            # shape — otherwise it would re-fail every batch
-            pair_st = (self.store.dtype not in (jnp.bfloat16, jnp.float16)
-                       and not (self.store.db_hi is not None
-                                and self.store.split_stats_host()
-                                == (0.0, 0.0)))
-            reduced = (nq_pad not in self._no_reduced_sweep
-                       and pallas_fused.pick_sweep_passes(
-                           nq_pad, pair_st) == 1)
-
             def fallback(cert_h, d0, i0):
                 # certificate failed (near-ties at the nomination boundary)
                 # for SOME queries: re-run only those rows, gathered into a
@@ -493,7 +485,6 @@ class TpuIndexFlat:
                 # certified results. Tier 1 (reduced sweeps only): the
                 # exact-pair fused sweep — ~5× cheaper than plain; tier 2:
                 # the plain XLA path, exact by construction.
-                self.fused_fallbacks += 1
                 d_out = np.ascontiguousarray(
                     np.asarray(d0)[:nq], np.float32).copy()
                 i_out = np.ascontiguousarray(
@@ -501,6 +492,7 @@ class TpuIndexFlat:
                 bad = np.nonzero(~np.asarray(cert_h)[:nq])[0]
                 if bad.size == 0:  # only padding rows failed — results exact
                     return d_out, i_out
+                self.fused_fallbacks += 1  # count only real re-runs
                 nb_pad = max(NQ_PAD, _round_up(bad.size, NQ_PAD))
                 qb = np.zeros((nb_pad, q.shape[1]), np.float32)
                 qb[: bad.size] = q[bad]
@@ -509,7 +501,7 @@ class TpuIndexFlat:
                     # this shape's margins don't cover the reduced sweep's
                     # error bound on this data — use the exact pair from now
                     self._no_reduced_sweep.add(nq_pad)
-                    d2, i2, c2, uf2 = self._run_search_fn(
+                    d2, i2, c2, uf2, _ = self._run_search_fn(
                         qb, k, nb_pad, force_plain=False, full_sweep=True)
                     d2, i2, c2 = jax.device_get((d2, i2, c2))
                     c2 = np.asarray(c2)
@@ -519,7 +511,7 @@ class TpuIndexFlat:
                     todo = todo[~c2[todo]] if uf2 else todo[:0]
                     if todo.size == 0:
                         return d_out, i_out
-                d2, i2, _, _ = self._run_search_fn(
+                d2, i2, _, _, _ = self._run_search_fn(
                     qb, k, nb_pad, force_plain=True)
                 d2, i2 = jax.device_get((d2, i2))
                 d_out[bad[todo]] = np.asarray(d2)[todo]

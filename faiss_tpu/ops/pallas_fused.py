@@ -525,12 +525,7 @@ def groupmax_scores(
         # f16-bits storage (2 B/elem): in-register decode kernels; same
         # direct-layout main + transposed tail structure as bf16
         nt = jnp.asarray(ntotal, jnp.int32).reshape(())
-        col = jax.lax.iota(jnp.int32, nv_eff)
-        vn_raw = jax.lax.slice_in_dim(db_norms, 0, nv_eff, axis=0)
-        if metric is MetricType.L2:
-            vn_m = jnp.where(col < nt, vn_raw, jnp.inf)
-        else:
-            vn_m = jnp.where(col < nt, 0.0, jnp.inf)
+        vn_m = premask(nt)
         if sweep_passes == 1:
             q_hi = queries_f32.astype(jnp.bfloat16)
             q_lo = q_hi
@@ -976,9 +971,21 @@ HIER_MIN_GROUPS = 65536
 
 STRIPE = 8  # queries per rescore grid step (one NQ_PAD-aligned stripe)
 RESCORE_RANKS_PAIR = 4  # pair (db2) rescore: twice the operands per rank →
-#                         deeper DMA pipelining pays (r3j: 1.13 → 1.11 ms)
+#   request deeper DMA pipelining. NOTE: the requested depth only applies
+#   when it divides kg; _ranks_per_step degrades to the largest divisor
+#   (kg=14 → 2). r3j's "ranks=4" rows (1.16 → 1.11 ms) actually measured
+#   the then-current divisor fallback of 1 at kg=14, within rep noise —
+#   re-measured head-to-head by scripts/tune_r3o.py.
 RESCORE_RANKS = 2  # group ranks per step (16 in-flight gather DMAs;
 #                    measured 0.091 vs 0.117 ms at kg=14, 1M x 128, v5e r2)
+
+
+def _ranks_per_step(kg: int, requested: int) -> int:
+    """Largest divisor of kg that is ≤ the requested pipelining depth (the
+    rescore grid must tile kg exactly). Falling all the way to 1 when the
+    requested depth didn't divide kg silently discarded the measured-good
+    rj=2 default at e.g. kg=14 with RESCORE_RANKS_PAIR=4."""
+    return next(r for r in range(min(requested, kg), 0, -1) if kg % r == 0)
 
 
 def _rescore_dots(q0, q1, q2, v, clean=False):
@@ -1073,7 +1080,7 @@ def rescore_groups_pallas(
 
     nq_pad, d_pad = queries_f32.shape
     kg = gidx.shape[1]
-    rj = ranks_per_step if kg % ranks_per_step == 0 else 1
+    rj = _ranks_per_step(kg, ranks_per_step)
     q0, q1, q2 = split3_f32_bf16(queries_f32)
     nt = jnp.asarray(ntotal, jnp.int32).reshape(())
     # pre-masked norms: +inf past ntotal (0/+inf for IP) — same stream the
@@ -1229,7 +1236,7 @@ def rescore_select_groups_pallas(
 
     nq_pad, d_pad = queries_f32.shape
     kg = gidx.shape[1]
-    rj = ranks_per_step if kg % ranks_per_step == 0 else 1
+    rj = _ranks_per_step(kg, ranks_per_step)
     q0, q1, q2 = split3_f32_bf16(queries_f32)
     nt = jnp.asarray(ntotal, jnp.int32).reshape(())
     col = jax.lax.iota(jnp.int32, nv_eff)
@@ -1817,6 +1824,15 @@ def fused_path_eligible(*, metric: MetricType, k: int, nv_eff: int,
     d_cap = 1024 if (pair_sweep or is_f16) else 2048
     if nv_eff < FUSED_MIN_NV or d_pad > d_cap:
         return False
+    if d_pad > 128:
+        # d > 128 runs the transposed-layout sweep, whose (block_v/GROUP,
+        # nq) out block needs ≥ 8 sublanes — only guaranteed when a
+        # 1024-row multiple fits _pick_block_v's VMEM budget (fails for
+        # e.g. pair sweeps at d_pad > 512, bf16 at d_pad > 1024). Route
+        # those to the XLA path: a sub-8-sublane tile has never compiled
+        # on Mosaic, and a failed trace poisons the process (CLAUDE.md).
+        if _pick_block_v(d_pad, itemsize, nv_eff) % 1024 != 0:
+            return False
     ngroups = nv_eff // GROUP
     kg = min(k + GROUP_PAD, ngroups)
     gather_bytes = nq_pad * kg * GROUP * d_pad * (4 if pair_sweep else 2)

@@ -557,7 +557,10 @@ class ShardedIndexFlat:
             ),
         )
         args = (db, norms, gids, ntotals, q) + (split if use_split else ())
-        return fn(*args) + (use_fused,)
+        # last element: did THIS search run the reduced single-pass sweep
+        # (tier-1 fallback + shape pinning apply)? Returned rather than
+        # re-derived at the call site — the index.py mirror drifted once
+        return fn(*args) + (use_fused, use_fused and sweep_passes == 1)
 
     def _search_device(self, x: np.ndarray, k: int):
         if k <= 0:
@@ -565,23 +568,11 @@ class ShardedIndexFlat:
         q, qh, nq, nq_pad = self._prep_queries(x)
         if self.ntotal == 0:
             return None, nq, nq_pad
-        dists, glabels, cert, use_fused = self._run_search_fn(
+        dists, glabels, cert, use_fused, reduced = self._run_search_fn(
             q, k, nq_pad, force_plain=False)
         fallback = None
         if use_fused:
             nq_local = nq_pad // self.num_replicas
-            # mirror _run_search_fn's dispatch (see index.py): hi_exact
-            # fp32 runs the reduced sweep, so its cert failures must pin
-            pair_st = (self.shards[0].store.dtype
-                       not in (jnp.bfloat16, jnp.float16)
-                       and not (self.shards[0].store.db_hi is not None
-                                and all(s.store.split_stats_host()
-                                        == (0.0, 0.0)
-                                        for s in self.shards
-                                        if s.store.ntotal)))
-            reduced = (nq_local not in self._no_reduced_sweep
-                       and pallas_fused.pick_sweep_passes(
-                           nq_local, pair_st) == 1)
 
             def fallback(cert_h, d0, i0):
                 # a shard's certificate failed for SOME queries: gather only
@@ -589,7 +580,6 @@ class ShardedIndexFlat:
                 # them exactly, and patch (index.py has the single-chip
                 # analog). Tier 1 (reduced sweeps): the exact-pair fused
                 # sweep; tier 2: the plain local scan.
-                self.fused_fallbacks += 1
                 d_out = np.ascontiguousarray(
                     np.asarray(d0)[:nq], np.float32).copy()
                 i_out = np.ascontiguousarray(
@@ -597,6 +587,7 @@ class ShardedIndexFlat:
                 bad = np.nonzero(~np.asarray(cert_h)[:nq])[0]
                 if bad.size == 0:  # only padding rows failed — results exact
                     return d_out, i_out
+                self.fused_fallbacks += 1  # count only real re-runs
                 unit = NQ_PAD * self.num_replicas
                 nb_pad = max(unit, _round_up(bad.size, unit))
                 qb = np.zeros((nb_pad, qh.shape[1]), np.float32)
@@ -607,7 +598,7 @@ class ShardedIndexFlat:
                 if reduced:
                     # stop paying tier-1 reruns at this shape (see index.py)
                     self._no_reduced_sweep.add(nq_local)
-                    d2, i2, c2, uf2 = self._run_search_fn(
+                    d2, i2, c2, uf2, _ = self._run_search_fn(
                         qbd, k, nb_pad, force_plain=False, full_sweep=True)
                     d2, i2, c2 = jax.device_get((d2, i2, c2))
                     c2 = np.asarray(c2)
@@ -617,7 +608,7 @@ class ShardedIndexFlat:
                     todo = todo[~c2[todo]] if uf2 else todo[:0]
                     if todo.size == 0:
                         return d_out, i_out
-                d2, i2, _, _ = self._run_search_fn(
+                d2, i2, _, _, _ = self._run_search_fn(
                     qbd, k, nb_pad, force_plain=True)
                 d2, i2 = jax.device_get((d2, i2))
                 d_out[bad[todo]] = np.asarray(d2)[todo]

@@ -583,8 +583,14 @@ def test_xla_tail_matches_full_pallas_sweep(storage, monkeypatch):
         args = (q, xbj, norms, jnp.int32(nv))
         kwargs.update(db_split=(hi, lo), split_stats=stats)
     elif storage == "f16":
-        stats = jnp.zeros((2,), jnp.float32)
-        args = (q, encode_f16_bits(xbj), norms, jnp.int32(nv))
+        # the TRUE stored stats (max‖v_lo‖ is nonzero on Gaussian f16 data;
+        # fabricated zeros would understate eps and certify unsoundly)
+        from faiss_tpu.storage import decode_f16_bits
+        bits = encode_f16_bits(xbj)
+        v32 = decode_f16_bits(bits)
+        hi, lo = split_f32_bf16(v32)
+        stats = _split_stats_fn(jnp.zeros((2,), jnp.float32), v32, hi, lo)
+        args = (q, bits, norms, jnp.int32(nv))
         kwargs.update(split_stats=stats)
     else:
         scales = jnp.asarray(
