@@ -307,6 +307,38 @@ def test_fallback_on_uncertified(monkeypatch):
     np.testing.assert_array_equal(I2, I)
 
 
+def test_padding_row_cert_failure_is_not_a_fallback(monkeypatch):
+    """Zero-vector PADDING rows (nq..nq_pad) may fail certification without
+    consequence — results for real rows are exact and nothing re-runs, so
+    fused_fallbacks must not count it (observability fix, 484da5d)."""
+    from faiss_tpu import TpuIndexFlat
+    from faiss_tpu.ops import pallas_fused as pf
+
+    monkeypatch.setattr(pf, "fused_path_eligible",
+                        lambda **kw: kw["nv_eff"] >= 8192)
+    real_eps = pf._sweep_eps
+
+    def poisoned_eps(queries_f32, *a, **kw):
+        eps = real_eps(queries_f32, *a, **kw)
+        rows = jnp.arange(queries_f32.shape[0])
+        return jnp.where(rows >= 4, jnp.inf, eps)  # only padding rows fail
+
+    monkeypatch.setattr(pf, "_sweep_eps", poisoned_eps)
+    xb, xq = make_data(16384, 4, 64)  # nq=4 pads to 8: rows 4..7 poisoned
+    # private resources: the poisoned eps is BAKED into the compiled
+    # program, and the default resources' fn cache is keyed by shape only —
+    # sharing it would poison later same-shape tests
+    from faiss_tpu.resources import TpuResources
+    idx = TpuIndexFlat(64, resources=TpuResources())
+    idx.add(xb)
+    D, I = idx.search(xq, 10)
+    assert idx.fused_fallbacks == 0
+    s = 2 * (xq.astype(np.float64) @ xb.astype(np.float64).T)
+    s -= (xb.astype(np.float64) ** 2).sum(1)[None, :]
+    order = np.argsort(-s, axis=1, kind="stable")[:, :10]
+    np.testing.assert_array_equal(np.asarray(I), order)
+
+
 def test_no_fallback_on_random(monkeypatch):
     from faiss_tpu import TpuIndexFlat
     from faiss_tpu.ops import pallas_fused as pf
@@ -535,7 +567,10 @@ def test_selective_per_query_fallback(monkeypatch):
 
     monkeypatch.setattr(pf, "_sweep_eps", poisoned_eps)
     xb, xq = make_data(16384, 32, 64)
-    idx = TpuIndexFlat(64)
+    # private resources: the poisoned eps bakes into the cached program
+    # (shape-keyed cache — a same-shape later test would inherit it)
+    from faiss_tpu.resources import TpuResources
+    idx = TpuIndexFlat(64, resources=TpuResources())
     idx.add(xb)
     reruns = []
     real_run = idx._run_search_fn
