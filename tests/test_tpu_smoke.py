@@ -103,6 +103,37 @@ def test_large_k_real_tpu():
     np.testing.assert_array_equal(I_, I2)
 
 
+def test_hi_exact_integer_data_real_tpu():
+    """fp32 on integer-valued data (the real SIFT1M regime): stored split
+    stats are exactly zero, so the hi_exact dispatch sweeps only the hi
+    bf16 plane — results must stay bit-identical to the forced-XLA fp32
+    path ON HARDWARE (the Mosaic hi-plane program differs from the pair
+    program r3m slope-measures)."""
+    xb_i = RNG.integers(0, 256, (NV, D)).astype(np.float32)
+    xq_i = RNG.integers(0, 256, (8, D)).astype(np.float32)
+    idx = TpuIndexFlat(D, metric="l2", storage="f32")
+    idx.add(xb_i)
+    assert "hi_exact=True" in idx.describe()
+    D_, I_ = idx.search(xq_i, K)
+    idx.set_force_xla(True)
+    try:
+        D2, I2 = idx.search(xq_i, K)
+    finally:
+        idx.set_force_xla(False)
+    np.testing.assert_array_equal(I_, I2)
+    np.testing.assert_array_equal(D_, D2)  # bit-identical, not just close
+    assert idx.fused_fallbacks == 0
+    idx.reset()
+    del idx
+
+
+def test_f16_clean_dispatch_real_tpu():
+    """Gaussian data is inf/NaN-free, so f16 storage must engage the lean
+    clean-bits decode on hardware (the f16 sweep is VPU-decode-bound)."""
+    idx = _index("f16")
+    assert "f16_clean=True" in idx.describe()
+
+
 def test_certificate_rate_real_tpu():
     """The runtime exactness certificate must hold on hardware arithmetic,
     not just interpret-mode emulation: zero fallbacks across every storage
