@@ -249,6 +249,60 @@ class TpuSearchToken:
             return False
 
 
+def make_selective_fallback(index, queries: np.ndarray, nq: int, k: int, *,
+                            pad_unit: int, pin_key: int, reduced: bool,
+                            to_device=None):
+    """Tier-1/tier-2 per-query certificate fallback, shared by TpuIndexFlat
+    and ShardedIndexFlat (the two copies of this closure drifted once —
+    hi_exact, 5de30c8 — so it lives here exactly once).
+
+    When the certificate failed for SOME queries, re-run ONLY those rows,
+    gathered into a small pad_unit-aligned batch, and patch them into the
+    certified results. Tier 1 (only when this search ran the ``reduced``
+    single-pass sweep): the exact-pair fused sweep — ~5× cheaper than
+    plain — and pin ``pin_key`` in ``index._no_reduced_sweep`` so the shape
+    stops paying tier-1 reruns; tier 2: the plain XLA path, exact by
+    construction. ``to_device`` maps the gathered host batch to the
+    representation ``index._run_search_fn`` expects (the sharded index
+    device_puts it with the replica sharding). Padding-row-only failures
+    return the results untouched and are NOT counted as fallbacks."""
+
+    def fallback(cert_h, d0, i0):
+        d_out = np.ascontiguousarray(np.asarray(d0)[:nq], np.float32).copy()
+        i_out = np.ascontiguousarray(np.asarray(i0)[:nq], np.int64).copy()
+        bad = np.nonzero(~np.asarray(cert_h)[:nq])[0]
+        if bad.size == 0:  # only padding rows failed — results exact
+            return d_out, i_out
+        index.fused_fallbacks += 1  # count only real re-runs
+        nb_pad = max(pad_unit, _round_up(bad.size, pad_unit))
+        qb = np.zeros((nb_pad, queries.shape[1]), np.float32)
+        qb[: bad.size] = queries[bad]
+        qd = to_device(qb) if to_device is not None else qb
+        todo = np.arange(bad.size)
+        if reduced:
+            # this shape's margins don't cover the reduced sweep's error
+            # bound on this data — use the exact pair from now on
+            index._no_reduced_sweep.add(pin_key)
+            d2, i2, c2, uf2, _ = index._run_search_fn(
+                qd, k, nb_pad, force_plain=False, full_sweep=True)
+            d2, i2, c2 = jax.device_get((d2, i2, c2))
+            c2 = np.asarray(c2)
+            ok = todo[c2[todo]] if uf2 else todo
+            d_out[bad[ok]] = np.asarray(d2)[ok]
+            i_out[bad[ok]] = np.asarray(i2)[ok]
+            todo = todo[~c2[todo]] if uf2 else todo[:0]
+            if todo.size == 0:
+                return d_out, i_out
+        d2, i2, _, _, _ = index._run_search_fn(
+            qd, k, nb_pad, force_plain=True)
+        d2, i2 = jax.device_get((d2, i2))
+        d_out[bad[todo]] = np.asarray(d2)[todo]
+        i_out[bad[todo]] = np.asarray(i2)[todo]
+        return d_out, i_out
+
+    return fallback
+
+
 class TpuIndexFlat:
     """Flat exact-search index on TPU. See module docstring for parity map."""
 
@@ -478,45 +532,9 @@ class TpuIndexFlat:
             q, k, nq_pad, force_plain=False)
         fallback = None
         if use_fused:
-            def fallback(cert_h, d0, i0):
-                # certificate failed (near-ties at the nomination boundary)
-                # for SOME queries: re-run only those rows, gathered into a
-                # small NQ_PAD-aligned batch, and patch them into the
-                # certified results. Tier 1 (reduced sweeps only): the
-                # exact-pair fused sweep — ~5× cheaper than plain; tier 2:
-                # the plain XLA path, exact by construction.
-                d_out = np.ascontiguousarray(
-                    np.asarray(d0)[:nq], np.float32).copy()
-                i_out = np.ascontiguousarray(
-                    np.asarray(i0)[:nq], np.int64).copy()
-                bad = np.nonzero(~np.asarray(cert_h)[:nq])[0]
-                if bad.size == 0:  # only padding rows failed — results exact
-                    return d_out, i_out
-                self.fused_fallbacks += 1  # count only real re-runs
-                nb_pad = max(NQ_PAD, _round_up(bad.size, NQ_PAD))
-                qb = np.zeros((nb_pad, q.shape[1]), np.float32)
-                qb[: bad.size] = q[bad]
-                todo = np.arange(bad.size)
-                if reduced:
-                    # this shape's margins don't cover the reduced sweep's
-                    # error bound on this data — use the exact pair from now
-                    self._no_reduced_sweep.add(nq_pad)
-                    d2, i2, c2, uf2, _ = self._run_search_fn(
-                        qb, k, nb_pad, force_plain=False, full_sweep=True)
-                    d2, i2, c2 = jax.device_get((d2, i2, c2))
-                    c2 = np.asarray(c2)
-                    ok = todo[c2[todo]] if uf2 else todo
-                    d_out[bad[ok]] = np.asarray(d2)[ok]
-                    i_out[bad[ok]] = np.asarray(i2)[ok]
-                    todo = todo[~c2[todo]] if uf2 else todo[:0]
-                    if todo.size == 0:
-                        return d_out, i_out
-                d2, i2, _, _, _ = self._run_search_fn(
-                    qb, k, nb_pad, force_plain=True)
-                d2, i2 = jax.device_get((d2, i2))
-                d_out[bad[todo]] = np.asarray(d2)[todo]
-                i_out[bad[todo]] = np.asarray(i2)[todo]
-                return d_out, i_out
+            fallback = make_selective_fallback(
+                self, q, nq, k, pad_unit=NQ_PAD, pin_key=nq_pad,
+                reduced=reduced)
         return (dists, labels, cert, fallback), nq, nq_pad
 
     def search(self, x: np.ndarray, k: int,

@@ -113,8 +113,7 @@ _QUANT_V = 1.0 + 2.0 ** -8
 _EPS_SLACK = 1.0 + 2.0 ** -10
 
 
-def _pick_block_v(d_pad: int, itemsize: int, nv: int,
-                  align: int = 0) -> int:
+def _pick_block_v(d_pad: int, itemsize: int, nv: int) -> int:
     """db tile rows: large enough that the out block (block_v/GROUP rows)
     meets the 8-sublane constraint (→ ≥ 1024), small enough to double-buffer
     in VMEM. The index layer always supplies 1024-aligned nv_eff; direct
@@ -122,18 +121,16 @@ def _pick_block_v(d_pad: int, itemsize: int, nv: int,
     128-multiple divisor — the grid MUST tile nv exactly, or the last
     groups of the out array are never written (uninitialized garbage that
     r3's NaN-strict select kernel surfaced where lax.top_k silently
-    tolerated it). ``align``: a row offset the block size must also divide
-    (tail sweeps ride block-index offset maps)."""
+    tolerated it). Sub-1024 results have <8 out sublanes — never compiled
+    on Mosaic; fused_path_eligible routes such shapes to the XLA path, so
+    they can only reach a kernel via direct interpret-mode callers."""
     budget = 2 * 1024 * 1024
 
-    def fits(bv):
-        return nv % bv == 0 and (align % bv == 0)
-
     for bv in (8192, 4096, 2048, 1024):  # 8192 measured 18% faster at d=128
-        if bv * d_pad * itemsize <= budget and fits(bv):
+        if bv * d_pad * itemsize <= budget and nv % bv == 0:
             return bv
     for bv in range(min(nv, 8192), 0, -GROUP):  # odd sizes: exact tiling
-        if bv % GROUP == 0 and fits(bv) and (
+        if bv % GROUP == 0 and nv % bv == 0 and (
                 bv * d_pad * itemsize <= budget or bv == GROUP):
             return bv
     return GROUP
@@ -404,17 +401,21 @@ def _xla_tail_gm(dots, vn_t, *, metric, nq_pad):
     """Tail group-maxes via plain XLA (rows [main, nv_eff), < DIRECT_BV).
 
     When the direct-layout main covers the aligned prefix, the remainder
-    is at most 16383 rows. r2/early-r3 swept it with a SECOND transposed-
-    layout Mosaic kernel, which bloated every e2e program — the r3c bisect
-    showed the remote Mosaic compiler dying (broken pipe after ~30 min) on
-    the fp32 e2e program containing direct-pair main + transposed tail +
-    rescore, while each kernel compiled alone. A tail this small is
-    DMA-trivial (≤ 4 MB), so one XLA dot + reshape-max replaces the whole
-    kernel. Exactness: _sweep_eps budgets accumulation for ANY summation
-    order, so nomination may mix Pallas-MXU and XLA-dot arithmetic freely
-    (exact boundary ties always fail the strict certificate and fall
-    back). Slicing ≤ 4 MB here is fine — the never-slice-the-db rule
-    guards against materializing the multi-hundred-MB main operand."""
+    is under one direct tile: < DIRECT_BV (16384) rows for bf16/f16/int8,
+    < PAIR_DIRECT_BV (32768) rows × two planes for the fp32 pair — worst
+    case ~17 MB of sliced operand at d=128. r2/early-r3 swept it with a
+    SECOND transposed-layout Mosaic kernel, which bloated every e2e
+    program — the r3c bisect showed the remote Mosaic compiler dying
+    (broken pipe after ~30 min) on the fp32 e2e program containing
+    direct-pair main + transposed tail + rescore, while each kernel
+    compiled alone. A tail this small is DMA-trivial (tens of µs), so one
+    XLA dot + reshape-max replaces the whole kernel. Exactness:
+    _sweep_eps budgets accumulation for ANY summation order, so
+    nomination may mix Pallas-MXU and XLA-dot arithmetic freely (exact
+    boundary ties always fail the strict certificate and fall back).
+    Slicing ≤ ~17 MB here is fine — the never-slice-the-db rule guards
+    against materializing the multi-hundred-MB main operand; anyone
+    raising PAIR_DIRECT_BV further should re-check this ceiling."""
     s = (2.0 * dots if metric is MetricType.L2 else dots) - vn_t[None, :]
     return s.reshape(nq_pad, -1, GROUP).max(axis=-1)
 
@@ -1157,7 +1158,7 @@ _BIG_ID = np.int32(1 << 30)  # plain numpy: a jnp const would be captured
 
 
 def _rescore_select_kernel(gidx_ref, q0_ref, q1_ref, q2_ref, *refs,
-                           metric, rj, k):
+                           metric, rj, k, clean=False):
     """_rescore_kernel + running in-kernel top-k: the TPU answer to the
     reference's single-kernel fused_l2_topk (fused_l2_topk.metal:59-124).
 
@@ -1180,7 +1181,8 @@ def _rescore_select_kernel(gidx_ref, q0_ref, q1_ref, q2_ref, *refs,
         parts, idparts = [], []
         for r in range(rj):
             v = db_refs[u * rj + r][:]
-            acc = _rescore_dots(q0_ref[:], q1_ref[:], q2_ref[:], v)
+            acc = _rescore_dots(q0_ref[:], q1_ref[:], q2_ref[:], v,
+                                clean=clean)
             if metric is MetricType.L2:
                 s = 2.0 * acc - vn_refs[u * rj + r][0, :][None, :]
             else:
@@ -1227,6 +1229,7 @@ def rescore_select_groups_pallas(
     nv_eff: int,
     interpret: bool = False,
     ranks_per_step: int = 1,
+    f16_clean: bool = False,  # int16 db: clean bits → lean in-kernel decode
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused phase 3 + final selection: (vals (nq_pad, k) desc, ids
     (nq_pad, k) int32) — no (nq_pad, kg·GROUP) score array, no XLA top_k,
@@ -1279,7 +1282,7 @@ def rescore_select_groups_pallas(
         ],
     )
     kernel = functools.partial(_rescore_select_kernel, metric=metric, rj=rj,
-                               k=k)
+                               k=k, clean=f16_clean)
     args = [q0, q1, q2] + [db] * (STRIPE * rj) + [vn] * (STRIPE * rj)
     vals, ids = pl.pallas_call(
         kernel,
@@ -1623,7 +1626,7 @@ def fused_search(
         vals, ids = rescore_select_groups_pallas(
             qq, db, db_norms, gidx, ntotal,
             k=k_eff, metric=metric, nv_eff=nv_eff, interpret=interpret,
-            ranks_per_step=RESCORE_RANKS,
+            ranks_per_step=RESCORE_RANKS, f16_clean=f16_clean,
         )
         if is_int8:
             eps = _sweep_eps_int8(queries_f32, scales, int_norm_max,
@@ -1641,9 +1644,10 @@ def fused_search(
     cols = (gidx[:, :, None] * GROUP + offs).reshape(nq_pad, kg * GROUP)
     t2 = None  # fp32 two-stage sets the tier-2 certificate threshold
     if pair_only:
-        # pair-only HBM (f16 always; f32 keep_master=False): gather both
-        # halves' group slices, reconstruct fp32 rows (exact hi+lo sum),
-        # HIGHEST dot — fp32-true w.r.t. the pair-represented database.
+        # pair-only HBM (f32 keep_master=False ONLY — since the 2 B/elem
+        # bit-pattern mode landed, f16 takes the int16 branch below):
+        # gather both halves' group slices, reconstruct fp32 rows (exact
+        # hi+lo sum), HIGHEST dot — fp32-true w.r.t. the pair database.
         def g_rows(part):
             # reshape the WHOLE buffer (metadata-only; a slice would copy
             # the database whenever nv_eff < capacity)

@@ -36,7 +36,7 @@ from ..ops import pallas_fused
 from ..ops import topk as topk_ops
 from ..resources import TpuResources, default_resources
 from ..storage import ROW_TILE, DeviceStore, _round_up
-from ..index import NQ_PAD, TpuSearchToken
+from ..index import NQ_PAD, TpuSearchToken, make_selective_fallback
 
 AXIS = TpuResources.SHARD_AXIS
 REPLICA_AXIS = "replicas"
@@ -572,48 +572,14 @@ class ShardedIndexFlat:
             q, k, nq_pad, force_plain=False)
         fallback = None
         if use_fused:
-            nq_local = nq_pad // self.num_replicas
-
-            def fallback(cert_h, d0, i0):
-                # a shard's certificate failed for SOME queries: gather only
-                # the uncertified rows into a small aligned batch, re-run
-                # them exactly, and patch (index.py has the single-chip
-                # analog). Tier 1 (reduced sweeps): the exact-pair fused
-                # sweep; tier 2: the plain local scan.
-                d_out = np.ascontiguousarray(
-                    np.asarray(d0)[:nq], np.float32).copy()
-                i_out = np.ascontiguousarray(
-                    np.asarray(i0)[:nq], np.int64).copy()
-                bad = np.nonzero(~np.asarray(cert_h)[:nq])[0]
-                if bad.size == 0:  # only padding rows failed — results exact
-                    return d_out, i_out
-                self.fused_fallbacks += 1  # count only real re-runs
-                unit = NQ_PAD * self.num_replicas
-                nb_pad = max(unit, _round_up(bad.size, unit))
-                qb = np.zeros((nb_pad, qh.shape[1]), np.float32)
-                qb[: bad.size] = qh[bad]
-                qbd = jax.device_put(
-                    qb, NamedSharding(self.mesh, P(REPLICA_AXIS, None)))
-                todo = np.arange(bad.size)
-                if reduced:
-                    # stop paying tier-1 reruns at this shape (see index.py)
-                    self._no_reduced_sweep.add(nq_local)
-                    d2, i2, c2, uf2, _ = self._run_search_fn(
-                        qbd, k, nb_pad, force_plain=False, full_sweep=True)
-                    d2, i2, c2 = jax.device_get((d2, i2, c2))
-                    c2 = np.asarray(c2)
-                    ok = todo[c2[todo]] if uf2 else todo
-                    d_out[bad[ok]] = np.asarray(d2)[ok]
-                    i_out[bad[ok]] = np.asarray(i2)[ok]
-                    todo = todo[~c2[todo]] if uf2 else todo[:0]
-                    if todo.size == 0:
-                        return d_out, i_out
-                d2, i2, _, _, _ = self._run_search_fn(
-                    qbd, k, nb_pad, force_plain=True)
-                d2, i2 = jax.device_get((d2, i2))
-                d_out[bad[todo]] = np.asarray(d2)[todo]
-                i_out[bad[todo]] = np.asarray(i2)[todo]
-                return d_out, i_out
+            fallback = make_selective_fallback(
+                self, qh, nq, k,
+                pad_unit=NQ_PAD * self.num_replicas,
+                pin_key=nq_pad // self.num_replicas,  # per-replica shape key
+                reduced=reduced,
+                to_device=lambda qb: jax.device_put(
+                    qb, NamedSharding(self.mesh, P(REPLICA_AXIS, None))),
+            )
         return (dists, glabels, cert, fallback), nq, nq_pad
 
     def search(self, x: np.ndarray, k: int,

@@ -159,9 +159,14 @@ def test_f16_clean_dispatch_and_dirty_data():
     idx.add(xb)
     assert idx.store.f16_clean()
     D1, I1 = idx.search(xq, 8)
-    # oracle vs the f16-quantized database
+    # oracle vs the f16-quantized database with the library's OWN norm
+    # convention: scores subtract the PRE-quantization fp32 norms
+    # (storage.add computes them before the f16 cast, SURVEY §2.3.3) — a
+    # quantized-norm oracle ((xb16**2).sum) differs per row by
+    # ~2·Σ v_i·δ_i and only matches by seed luck
     xb16 = xb.astype(np.float16).astype(np.float64)
-    s = 2 * xq.astype(np.float64) @ xb16.T - (xb16 ** 2).sum(1)[None, :]
+    nrm = np.asarray(idx.store.norms)[: idx.ntotal].astype(np.float64)
+    s = 2 * xq.astype(np.float64) @ xb16.T - nrm[None, :]
     order = np.argsort(-s, axis=1, kind="stable")[:, :8]
     np.testing.assert_array_equal(I1, order)
     # subnormal values (|x| < 2^-14) FLUSH to ±0 at ingest — storage stays
