@@ -49,3 +49,26 @@ d8 = ((xq2**2).sum(1)[:,None] - 2*xq2@xb.T + (xb**2).sum(1)[None,:])
 agree8 = (I8[:,0] == d8.argmin(1)).mean()
 assert agree8 > 0.9, agree8
 print("int8 100q OK, top1 agree:", agree8, "fallbacks:", idx8.fused_fallbacks)
+# f16 storage (2 B/elem bit patterns, clean-bits in-kernel decode on chip)
+idxh = faiss_tpu.TpuIndexFlat(128, storage="f16")
+idxh.add(xb)
+assert "f16_clean=True" in idxh.describe()
+Dh, Ih = idxh.search(xq2, 10)
+agreeh = (Ih[:, 0] == top1).mean()
+assert agreeh > 0.98, agreeh  # f16 keeps ~3 decimal digits
+print("f16 100q OK, top1 agree:", agreeh, "fallbacks:", idxh.fused_fallbacks)
+# hi_exact: integer-valued fp32 data (SIFT regime) must be BIT-identical
+# to the forced-XLA fp32 path via the hi-plane-only Mosaic program
+xbi = rng.integers(0, 256, (50_000, 128)).astype(np.float32)
+xqi = rng.integers(0, 256, (32, 128)).astype(np.float32)
+idxi = faiss_tpu.TpuIndexFlat(128, storage="f32")
+idxi.add(xbi)
+assert "hi_exact=True" in idxi.describe()
+Di, Ii = idxi.search(xqi, 10)
+idxi.set_force_xla(True)
+Dix, Iix = idxi.search(xqi, 10)
+idxi.set_force_xla(False)
+np.testing.assert_array_equal(Ii, Iix)
+np.testing.assert_array_equal(Di, Dix)
+print("hi_exact OK (bit-identical to plain), fallbacks:",
+      idxi.fused_fallbacks)
