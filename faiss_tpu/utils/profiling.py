@@ -173,6 +173,10 @@ DEFAULT_GRID = [
          storage="int8"),
     dict(name="sift1m-int.f32", nv=1_000_000, nq=100, d=128, k=10,
          storage="f32", data="int"),
+    dict(name="ip-1M.bf16", nv=1_000_000, nq=100, d=128, k=10,
+         storage="bf16", metric="ip"),
+    dict(name="ip-768d", nv=100_000, nq=100, d=768, k=100,
+         storage="f32", metric="ip"),
 ]
 
 
