@@ -1704,8 +1704,12 @@ def fused_search(
         # gather read, but never materializes the (nq, kg·G, d) row array:
         # at 1M×128 nq=104 that array was ~95 MB written+reread, ~0.45 ms
         # of pure glue). Stage 3b gathers ONLY the top-(k+pad) rows' f32
-        # masters (≤1 MB) and rescores them with the HIGHEST dot, so
-        # returned values/ids stay bit-identical to the plain fp32 path.
+        # masters (≤1 MB) and rescores them with the HIGHEST dot. Returned
+        # values/ids measured bit-identical to the plain fp32 path on v5e
+        # (same arithmetic per element); across BACKENDS the guarantee is
+        # exact ids + last-ulp-close values (accumulation order of the
+        # batched stage-3b dot vs the plain matmul may differ — observed
+        # on the CPU backend, scripts/fuzz_parity note).
         # Soundness: tier-2 certificate — any candidate NOT selected by the
         # pair scores has exact score < t₂ + ε₂ (_pair_rescore_eps);
         # certified queries are therefore still provably exact top-k.
