@@ -39,9 +39,14 @@ for t in range(N):
     finally:
         pf.fused_path_eligible = pf_gate
     dmax = np.abs(D1) + np.abs(D2) + 1.0
-    if not (np.array_equal(I1, I2)
-            and np.allclose(D1, D2, rtol=0, atol=(4 * np.spacing(
-                np.float32(dmax.max()))))):  # last-ulp accumulation-order skew
+    tol = 4 * np.spacing(np.float32(dmax.max()))
+    sets_ok = all(set(I1[i].tolist()) == set(I2[i].tolist())
+                  for i in range(nq))
+    # positions may swap where the two paths' f32 scores straddle within
+    # ~1 ulp (different accumulation order) — sets must always agree
+    if not (sets_ok and np.array_equal(I1[:, 0], I2[:, 0])
+            and np.allclose(np.sort(D1, 1), np.sort(D2, 1),
+                            rtol=0, atol=tol)):
         bad = np.nonzero((I1 != I2).any(1) | (D1 != D2).any(1))[0]
         print(f"TRIAL {t} PARITY MISMATCH: nv={nv} d={d} nq={nq} k={k} "
               f"integer={integer} fallbacks={fb} rows={bad[:4]}")
