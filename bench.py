@@ -89,29 +89,36 @@ def _run_isolated(argv, timeout_s: int, env=None):
         return out.read()
 
 
-def run_all():
-    """One subprocess measures both storage configs (a device claim through
-    the tunnel can take minutes, so claim once)."""
+def run_all(attempts: int = 3):
+    """One subprocess measures all storage configs (a device claim through
+    the tunnel can take minutes, so claim once). A claim during a tunnel
+    outage blocks ~25 min then raises UNAVAILABLE (observed 2026-08-17/18);
+    retry a couple of times so a transient outage doesn't record 0 QPS."""
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__)) + (
         os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
     )
-    text = _run_isolated(
-        [sys.executable, "-c", _CHILD_SRC,
-         str(NV), str(D), str(NQ), str(K)],
-        SUBPROC_TIMEOUT_S, env=env,
-    )
     results = {}
-    if text is None:
-        sys.stderr.write(f"[bench] timed out after {SUBPROC_TIMEOUT_S}s\n")
-        return results
-    for line in text.splitlines():
-        if line.startswith("RESULT "):
-            r = json.loads(line[len("RESULT "):])
-            results[r["storage"]] = r
-    if not results:
-        sys.stderr.write("[bench] no results; output tail:\n"
-                         + "\n".join(text.splitlines()[-5:]) + "\n")
+    for attempt in range(attempts):
+        text = _run_isolated(
+            [sys.executable, "-c", _CHILD_SRC,
+             str(NV), str(D), str(NQ), str(K)],
+            SUBPROC_TIMEOUT_S, env=env,
+        )
+        if text is None:
+            sys.stderr.write(
+                f"[bench] attempt {attempt + 1}: timed out after "
+                f"{SUBPROC_TIMEOUT_S}s\n")
+            continue
+        for line in text.splitlines():
+            if line.startswith("RESULT "):
+                r = json.loads(line[len("RESULT "):])
+                results[r["storage"]] = r
+        if results:
+            break
+        sys.stderr.write(
+            f"[bench] attempt {attempt + 1}: no results; output tail:\n"
+            + "\n".join(text.splitlines()[-5:]) + "\n")
     return results
 
 

@@ -9,6 +9,9 @@ headline shape. Settle it head-to-head in ONE process (interleaved reps):
 
   P1   f32 full e2e, pair rescore rj=1 (what r3j's best actually ran)
   P2   f32 full e2e, pair rescore rj=2 (what RESCORE_RANKS_PAIR=4 now runs)
+  P3   f32 full e2e, GROUP_PAD 4→6 so kg=16 divides rj=4: deeper rescore
+       pipelining at +14% rescore DMA (16 vs 14 groups). If P3 < P2 the
+       index layer should round kg up to a multiple of the requested rj.
   B0   bf16 full e2e rescore_select (regression check: _ranks_per_step
        keeps the measured rj=2 for RESCORE_RANKS=2 at kg=14)
 """
@@ -23,6 +26,7 @@ NV, D, NQ, K = 1_000_000, 128, 104, 10
 M = MetricType.L2
 N1, N2 = 8, 88
 RRP0 = pf.RESCORE_RANKS_PAIR
+GP0 = pf.GROUP_PAD
 NV_EFF = ((NV + pf.DIRECT_BV - 1) // pf.DIRECT_BV) * pf.DIRECT_BV
 
 
@@ -69,11 +73,13 @@ def main():
     specs = [
         ("P1 f32 pair rj=1", full_f32, F32A, {"rrp": 1}),
         ("P2 f32 pair rj=2", full_f32, F32A, {"rrp": 4}),
+        ("P3 f32 kg=16 rj=4", full_f32, F32A, {"rrp": 4, "gp": 6}),
         ("B0 bf16 in-k select", full_bf16_rs, (db16, vn), {}),
     ]
     variants = {}
     for name, body, arrs, opts in specs:
         pf.RESCORE_RANKS_PAIR = opts.get("rrp", RRP0)
+        pf.GROUP_PAD = opts.get("gp", GP0)
         t0 = time.perf_counter()
         try:
             r1, r2 = chain(N1, body), chain(N2, body)
@@ -87,6 +93,7 @@ def main():
                   f"{type(e).__name__}: {str(e)[:600]}", flush=True)
         finally:
             pf.RESCORE_RANKS_PAIR = RRP0
+            pf.GROUP_PAD = GP0
 
     res = {n: [] for n in variants}
     for rep in range(8):
