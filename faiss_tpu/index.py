@@ -10,6 +10,8 @@ src/MetalIndexFlat.mm). API parity map:
     add(n, x)                           add(x)
     search(n, x, k, D, I)               search(x, k) -> (D, I)
     searchAsync(...) -> token           search_async(x, k) -> TpuSearchToken
+    (range_search: not in the reference  range_search(x, radius) ->
+     — its faiss::Index base throws)     (lims, D, I), faiss::IndexFlat parity
     reset()                             reset()
     reconstruct(key, out)               reconstruct(key) -> np.ndarray
     getVectorsData()                    vectors_numpy()  (None for bf16/f16)
@@ -32,6 +34,7 @@ Behavioral parity (SURVEY.md §2.3):
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -47,6 +50,111 @@ from .storage import ROW_TILE, DeviceStore, _round_up
 
 # Static-shape compile policy: queries padded to a multiple of this many rows.
 NQ_PAD = 8
+
+# range_search: initial per-(query, chunk) extraction capacity; doubles (as a
+# power of two, up to the chunk width) when a chunk holds more hits — the
+# count output is exact regardless, so one re-run always suffices.
+RANGE_CAP0 = 1024
+
+
+def _masked_scores_block(db, norms, queries, ntotal, split, start, width, *,
+                         metric, int8, f16bits, pair_only, use_direct):
+    """(nq_pad, width) scores for db rows [start, start+width) in the plain
+    XLA arithmetic class (fp32-true w.r.t. the stored/decoded vectors),
+    padding/invalid columns −inf. `start` may be traced. Shared by the plain
+    search path and range_search so their hit criteria can never drift."""
+    ns = jax.lax.dynamic_slice_in_dim(norms, start, width, axis=0)
+    if int8:
+        dbs = jax.lax.dynamic_slice_in_dim(db, start, width, axis=0)
+        s = dist_ops.int8_scores(queries, split[0], dbs, ns, metric)
+    elif f16bits:
+        from .storage import decode_f16_bits
+
+        dbs = jax.lax.dynamic_slice_in_dim(db, start, width, axis=0)
+        if use_direct and metric is MetricType.L2:
+            s = dist_ops.direct_l2_scores(
+                queries, decode_f16_bits(dbs))
+        else:
+            s = dist_ops.f16_scores(queries, dbs, ns, metric)
+    elif pair_only:
+        dh = jax.lax.dynamic_slice_in_dim(split[0], start, width, axis=0)
+        dl = jax.lax.dynamic_slice_in_dim(split[1], start, width, axis=0)
+        if use_direct and metric is MetricType.L2:
+            s = dist_ops.direct_l2_scores(
+                queries,
+                dh.astype(jnp.float32) + dl.astype(jnp.float32))
+        else:
+            s = dist_ops.pair_scores(queries, dh, dl, ns, metric)
+    else:
+        dbs = jax.lax.dynamic_slice_in_dim(db, start, width, axis=0)
+        if use_direct and metric is MetricType.L2:
+            s = dist_ops.direct_l2_scores(queries, dbs)
+        else:
+            s = dist_ops.matmul_scores(queries, dbs, ns, metric)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1) + start
+    return jnp.where(col < ntotal, s, -jnp.inf)
+
+
+def _build_range_fn(*, nv_eff: int, chunk: int, cap: int,
+                    metric: MetricType, use_direct: bool, int8: bool,
+                    f16bits: bool, pair_only: bool):
+    """One jitted range-search scan over nv_eff/chunk column blocks.
+
+    For each block: count rows whose score beats the (traced) threshold and
+    extract the top-``cap`` of them, so one block of scores is live at a time
+    (the same never-materialize-nq×nv discipline as the chunked top-k path).
+    Returns (counts (nchunks, nq_pad) i32 — EXACT even when a count exceeds
+    cap — vals (nchunks, nq_pad, cap) f32 desc, ids (nchunks, nq_pad, cap)
+    i32 global column ids; entries past a block's count are −inf/garbage)."""
+    assert nv_eff % chunk == 0 and cap <= chunk, (nv_eff, chunk, cap)
+    nchunks = nv_eff // chunk
+
+    def fn(db, norms, queries, ntotal, thr, *split):
+        def body(c):
+            start = c * chunk
+            s = _masked_scores_block(
+                db, norms, queries, ntotal, split, start, chunk,
+                metric=metric, int8=int8, f16bits=f16bits,
+                pair_only=pair_only, use_direct=use_direct)
+            hit = s > thr  # strict: faiss's dist<radius (L2) / dist>radius (IP)
+            counts = jnp.sum(hit, axis=-1, dtype=jnp.int32)
+            v, i = topk_ops.topk_scores(jnp.where(hit, s, -jnp.inf), cap)
+            return counts, v, i + start
+        return jax.lax.map(body, jnp.arange(nchunks, dtype=jnp.int32))
+
+    return jax.jit(fn)
+
+
+def _range_csr(run_range, nq: int, metric: MetricType):
+    """Shared range_search driver + host CSR assembly (TpuIndexFlat and
+    ShardedIndexFlat). ``run_range(cap)`` executes the jitted chunk scan and
+    returns host (counts (nchunks, nq_pad), vals, ids, cap_used); counts are
+    exact regardless of cap, so one capacity-doubling re-run suffices."""
+    counts, vals, ids, cap = run_range(RANGE_CAP0)
+    cmax = int(counts[:, :nq].max()) if nq else 0
+    if cmax > cap:
+        counts, vals, ids, cap = run_range(1 << (cmax - 1).bit_length())
+        assert int(counts[:, :nq].max()) <= cap
+    lims = np.zeros(nq + 1, np.int64)
+    np.cumsum(counts[:, :nq].sum(axis=0, dtype=np.int64), out=lims[1:])
+    D = np.empty(lims[-1], np.float32)
+    I = np.empty(lims[-1], np.int64)
+    for qi in range(nq):
+        pos = lims[qi]
+        for c in range(counts.shape[0]):
+            n = int(counts[c, qi])
+            if n:
+                D[pos:pos + n] = vals[c, qi, :n]
+                I[pos:pos + n] = ids[c, qi, :n]
+                pos += n
+        # chunk-major is only sorted within a chunk; merge to best-first
+        # (score desc), ties by id asc like every search path here
+        seg = slice(lims[qi], lims[qi + 1])
+        order = np.lexsort((I[seg], -D[seg]))
+        D[seg], I[seg] = D[seg][order], I[seg][order]
+    if metric is MetricType.L2:
+        np.negative(D, out=D)  # scores → squared distances
+    return lims, D, I
 
 # Cap on nq·nv·d elements for the direct (per-pair, unexpanded) L2 path
 # (reference gates on nv ≤ 256 — MetalDistance.mm:238; we additionally bound
@@ -97,6 +205,10 @@ def _build_search_fn(
             ids = jnp.concatenate([ids, pad_i], axis=-1)
         return dists, ids
 
+    masked_block = functools.partial(
+        _masked_scores_block, metric=metric, int8=int8, f16bits=f16bits,
+        pair_only=pair_only, use_direct=use_direct)
+
     def fn(db, norms, queries, ntotal, *split):
         if use_fused:
             # Pallas streaming kernel: group-max sweep + gather/rescore
@@ -128,55 +240,23 @@ def _build_search_fn(
                 vals = vals - qn[:, None]
             return _finalize(vals, ids, ntotal) + (cert,)
 
-        def masked_block(start, width):
-            """(nq_pad, width) scores for db rows [start, start+width),
-            padding/invalid columns −inf. `start` may be traced."""
-            ns = jax.lax.dynamic_slice_in_dim(norms, start, width, axis=0)
-            if int8:
-                dbs = jax.lax.dynamic_slice_in_dim(db, start, width, axis=0)
-                s = dist_ops.int8_scores(queries, split[0], dbs, ns, metric)
-            elif f16bits:
-                from .storage import decode_f16_bits
-
-                dbs = jax.lax.dynamic_slice_in_dim(db, start, width, axis=0)
-                if use_direct and metric is MetricType.L2:
-                    s = dist_ops.direct_l2_scores(
-                        queries, decode_f16_bits(dbs))
-                else:
-                    s = dist_ops.f16_scores(queries, dbs, ns, metric)
-            elif pair_only:
-                dh = jax.lax.dynamic_slice_in_dim(split[0], start, width, axis=0)
-                dl = jax.lax.dynamic_slice_in_dim(split[1], start, width, axis=0)
-                if use_direct and metric is MetricType.L2:
-                    s = dist_ops.direct_l2_scores(
-                        queries,
-                        dh.astype(jnp.float32) + dl.astype(jnp.float32))
-                else:
-                    s = dist_ops.pair_scores(queries, dh, dl, ns, metric)
-            else:
-                dbs = jax.lax.dynamic_slice_in_dim(db, start, width, axis=0)
-                if use_direct and metric is MetricType.L2:
-                    s = dist_ops.direct_l2_scores(queries, dbs)
-                else:
-                    s = dist_ops.matmul_scores(queries, dbs, ns, metric)
-            col = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1) + start
-            return jnp.where(col < ntotal, s, -jnp.inf)
-
+        blk = functools.partial(masked_block, db, norms, queries, ntotal,
+                                split)
         if nv_eff > chunk:
             # Two-stage streaming path: never materializes (nq, nv_eff).
             nfull = nv_eff // chunk
             prefix = nfull * chunk
             vals, ids = topk_ops.chunked_topk_scores(
-                lambda start: masked_block(start, chunk), prefix, chunk, k_eff
+                lambda start: blk(start, chunk), prefix, chunk, k_eff
             )
             tail = nv_eff - prefix
             if tail:
                 tv, ti = topk_ops.topk_scores(
-                    masked_block(prefix, tail), min(k_eff, tail)
+                    blk(prefix, tail), min(k_eff, tail)
                 )
                 vals, ids = topk_ops.merge_topk(vals, ids, tv, ti + prefix, k_eff)
         else:
-            vals, ids = topk_ops.topk_scores(masked_block(0, nv_eff), k_eff)
+            vals, ids = topk_ops.topk_scores(blk(0, nv_eff), k_eff)
 
         # plain paths are exact by construction — certificate always true
         return _finalize(vals, ids, ntotal) + (
@@ -554,6 +634,79 @@ class TpuIndexFlat:
             tok._result = self._empty_result(nq, k)
             return tok
         return TpuSearchToken(out[0], out[1], nq, out[2], out[3])
+
+    # -- range search ---------------------------------------------------------
+    def _run_range_fn(self, q, nq_pad: int, thr: np.float32, cap: int):
+        """Build (cached) + run one range-search scan at the current shape.
+        Returns host (counts (nchunks, nq_pad), vals, ids) arrays."""
+        nv_eff = _round_up(self.ntotal, ROW_TILE)
+        tuning = self.tuning
+        chunk = min(tuning.chunk_v, nv_eff)
+        while nv_eff % chunk:       # largest ≤chunk_v divisor of nv_eff that
+            chunk -= ROW_TILE       # is a ROW_TILE multiple (≥ ROW_TILE)
+        cap = min(cap, chunk)
+        is_int8 = self.storage_type is StorageType.INT8
+        is_f16 = self.storage_type is StorageType.FLOAT16
+        use_direct = (
+            self.metric is MetricType.L2
+            and not is_int8
+            and nv_eff <= dist_ops.DIRECT_PATH_MAX_NV * 4
+            and nq_pad * nv_eff * self.store.d_pad <= DIRECT_PATH_MAX_ELEMS
+        )
+        pair_only = self.store.pair_only
+        if (nv_eff // chunk) * nq_pad * cap * 8 > (2 << 30):
+            raise ValueError(
+                "range_search result buffers would exceed 2 GB "
+                f"(~{(nv_eff // chunk) * nq_pad * cap} candidate slots); "
+                "split the query batch or tighten the radius")
+        key = ("range_search", nv_eff, self.store.d_pad, nq_pad, self.metric,
+               self.storage_type, use_direct, chunk, cap, pair_only)
+        fn = self.res.cached(
+            key,
+            lambda: _build_range_fn(
+                nv_eff=nv_eff, chunk=chunk, cap=cap, metric=self.metric,
+                use_direct=use_direct, int8=is_int8, f16bits=is_f16,
+                pair_only=pair_only,
+            ),
+        )
+        if is_int8:
+            split = (self.store.scales,)
+        elif pair_only:
+            split = (self.store.db_hi, self.store.db_lo)
+        else:
+            split = ()
+        db_arg = (self.store.db if self.store.db is not None
+                  else self.store.db_hi)
+        counts, vals, ids = fn(db_arg, self.store.norms, q,
+                               self.store.ntotal_dev, thr, *split)
+        return jax.device_get((counts, vals, ids)) + (cap,)
+
+    def range_search(
+        self, x: np.ndarray, radius: float,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """All neighbors within ``radius`` of each query, faiss CSR layout:
+        (lims (nq+1,) i64, D (lims[nq],) f32, I (lims[nq],) i64) with query
+        q's results in D[lims[q]:lims[q+1]] sorted best-first. Criterion is
+        faiss's (strict): squared-L2 distance < radius for L2, inner product
+        > radius for IP, evaluated in the plain path's arithmetic class
+        (fp32-true w.r.t. the stored/decoded vectors — identical to what
+        search() would rank for the same rows).
+
+        Beyond the reference surface: MetalIndexFlat never implements
+        range_search (its faiss::Index base throws, faiss Index.h) — the
+        semantics here follow faiss::IndexFlat::range_search so converted
+        users keep the API. TPU shape discipline: a jitted chunk scan counts
+        and extracts hits at a static capacity; a chunk whose hit count
+        exceeds it triggers ONE re-run at the next power of two (counts are
+        exact either way), so results are complete for any radius."""
+        q, nq, nq_pad = self._prep_queries(x)
+        if self.ntotal == 0:
+            return (np.zeros(nq + 1, np.int64), np.empty(0, np.float32),
+                    np.empty(0, np.int64))
+        thr = np.float32(-radius if self.metric is MetricType.L2 else radius)
+        return _range_csr(
+            lambda cap: self._run_range_fn(q, nq_pad, thr, cap),
+            nq, self.metric)
 
     def describe(self) -> str:
         """Observability hook (≈ describeCapabilities +

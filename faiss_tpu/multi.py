@@ -100,6 +100,36 @@ class IndexShardsHost:
             results.append((D, self._globalize(w, I)))
         return merge_search_results(results, k, self.metric)
 
+    def range_search(
+        self, x: np.ndarray, radius: float,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Host-merged range search (faiss CSR (lims, D, I) — see
+        TpuIndexFlat.range_search): every sub-index contributes ALL its
+        in-radius rows, so the union is complete by construction; per-query
+        segments re-sorted best-first with global-id tiebreak."""
+        per = [(ix.range_search(x, radius), w)
+               for w, ix in enumerate(self.indexes)]
+        nq = per[0][0][0].shape[0] - 1
+        largest = self.metric is MetricType.INNER_PRODUCT
+        lims = np.zeros(nq + 1, np.int64)
+        for (sl, _, _), _w in per:
+            lims[1:] += np.diff(sl)
+        np.cumsum(lims[1:], out=lims[1:])
+        D = np.empty(lims[-1], np.float32)
+        I = np.empty(lims[-1], np.int64)
+        for qi in range(nq):
+            pos = lims[qi]
+            for (sl, sd, si), w in per:
+                seg = slice(sl[qi], sl[qi + 1])
+                n = sl[qi + 1] - sl[qi]
+                D[pos:pos + n] = sd[seg]
+                I[pos:pos + n] = self._globalize(w, si[seg])
+                pos += n
+            seg = slice(lims[qi], lims[qi + 1])
+            order = np.lexsort((I[seg], -D[seg] if largest else D[seg]))
+            D[seg], I[seg] = D[seg][order], I[seg][order]
+        return lims, D, I
+
     def reset(self) -> None:
         for ix in self.indexes:
             ix.reset()

@@ -36,7 +36,8 @@ from ..ops import pallas_fused
 from ..ops import topk as topk_ops
 from ..resources import TpuResources, default_resources
 from ..storage import ROW_TILE, DeviceStore, _round_up
-from ..index import NQ_PAD, TpuSearchToken, make_selective_fallback
+from ..index import (NQ_PAD, TpuSearchToken, make_selective_fallback,
+                     _masked_scores_block, _range_csr)
 
 AXIS = TpuResources.SHARD_AXIS
 REPLICA_AXIS = "replicas"
@@ -188,6 +189,65 @@ def _build_sharded_search_fn(
         mesh=mesh,
         in_specs=in_specs,
         out_specs=(P(REPLICA_AXIS), P(REPLICA_AXIS), P(REPLICA_AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def _build_sharded_range_fn(
+    *,
+    mesh: jax.sharding.Mesh,
+    nv_eff: int,        # per-shard effective rows (static)
+    chunk: int,
+    cap: int,
+    metric: MetricType,
+    int8: bool = False,
+    f16bits: bool = False,
+    pair_only: bool = False,
+):
+    """Sharded range_search scan (see index._build_range_fn): every shard
+    scans its own rows in nv_eff/chunk blocks with the SAME
+    `_masked_scores_block` hit criterion as the single-chip path, translates
+    hit ids to global gids on-device, and the per-shard per-chunk blocks
+    stack into one global (num_shards·nchunks, nq_pad, cap) result — the
+    host CSR assembly then cannot tell shards from chunks. Counts are exact
+    even past cap; queries split over the replicas axis like search."""
+    assert nv_eff % chunk == 0 and cap <= chunk, (nv_eff, chunk, cap)
+    nchunks = nv_eff // chunk
+
+    def per_device(db, norms, gids, ntotal_local, queries, thr, *split):
+        nt = ntotal_local[0]
+
+        def body(c):
+            start = c * chunk
+            s = _masked_scores_block(
+                db, norms, queries, nt, split, start, chunk,
+                metric=metric, int8=int8, f16bits=f16bits,
+                pair_only=pair_only, use_direct=False)
+            hit = s > thr
+            counts = jnp.sum(hit, axis=-1, dtype=jnp.int32)
+            v, i = topk_ops.topk_scores(jnp.where(hit, s, -jnp.inf), cap)
+            i = i + start
+            # local row → global id (hits are always valid rows: padding
+            # columns score −inf and thr is finite; garbage slots past a
+            # block's count are never read by the host assembly)
+            g = jnp.take(gids, jnp.clip(i, 0, db.shape[0] - 1), axis=0)
+            return counts, v, g
+
+        return jax.lax.map(body, jnp.arange(nchunks, dtype=jnp.int32))
+
+    in_specs = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(REPLICA_AXIS), P())
+    if int8:
+        in_specs = in_specs + (P(None),)          # scales replicated
+    elif pair_only:
+        in_specs = in_specs + (P(AXIS), P(AXIS))  # bf16 (hi, lo) pair
+    fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=in_specs,
+        # shards stack on the chunk axis, replicas on the query axis
+        out_specs=(P(AXIS, REPLICA_AXIS), P(AXIS, REPLICA_AXIS, None),
+                   P(AXIS, REPLICA_AXIS, None)),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -599,6 +659,62 @@ class ShardedIndexFlat:
             tok._result = (d, np.full((nq, k), -1, np.int64))
             return tok
         return TpuSearchToken(out[0], out[1], nq, out[2], out[3])
+
+    # -- range search ---------------------------------------------------------
+    def _run_range_fn(self, q, nq_pad: int, thr: np.float32, cap: int):
+        """Sharded analog of TpuIndexFlat._run_range_fn: one shard_map scan,
+        per-shard chunk blocks stacked on the host chunk axis, global ids."""
+        db, norms, gids, ntotals, cap_rows, split = self._assemble()
+        max_local = max(s.store.ntotal for s in self.shards)
+        nv_eff = min(cap_rows, _round_up(max(max_local, 1), ROW_TILE))
+        chunk = min(self.tuning.chunk_v, nv_eff)
+        while nv_eff % chunk:
+            chunk -= ROW_TILE
+        cap = min(cap, chunk)
+        is_int8 = self.storage_type is StorageType.INT8
+        is_f16 = self.storage_type is StorageType.FLOAT16
+        pair_only = self.shards[0].store.pair_only
+        nblocks = self.num_shards * (nv_eff // chunk)
+        if nblocks * nq_pad * cap * 8 > (2 << 30):
+            raise ValueError(
+                "range_search result buffers would exceed 2 GB "
+                f"(~{nblocks * nq_pad * cap} candidate slots); "
+                "split the query batch or tighten the radius")
+        key = ("sharded_range", self.num_shards, self.num_replicas, nv_eff,
+               cap_rows, self.shards[0].store.d_pad, nq_pad, self.metric,
+               self.storage_type, chunk, cap, pair_only)
+        fn = self.res.cached(
+            key,
+            lambda: _build_sharded_range_fn(
+                mesh=self.mesh, nv_eff=nv_eff, chunk=chunk, cap=cap,
+                metric=self.metric, int8=is_int8, f16bits=is_f16,
+                pair_only=pair_only,
+            ),
+        )
+        if is_int8:
+            rsplit = (split[0],)            # scales (replicated)
+        elif pair_only:
+            rsplit = (split[0], split[1])   # (hi, lo)
+        else:
+            rsplit = ()
+        counts, vals, ids = fn(db, norms, gids, ntotals, q, thr, *rsplit)
+        return jax.device_get((counts, vals, ids)) + (cap,)
+
+    def range_search(
+        self, x: np.ndarray, radius: float,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Sharded range search, faiss CSR contract — see
+        TpuIndexFlat.range_search. Every shard contributes ALL its in-radius
+        rows (no k truncation anywhere), so the union is complete; ids are
+        global, per-query segments sorted best-first with id tiebreak."""
+        q, _qh, nq, nq_pad = self._prep_queries(x)
+        if self.ntotal == 0:
+            return (np.zeros(nq + 1, np.int64), np.empty(0, np.float32),
+                    np.empty(0, np.int64))
+        thr = np.float32(-radius if self.metric is MetricType.L2 else radius)
+        return _range_csr(
+            lambda cap: self._run_range_fn(q, nq_pad, thr, cap),
+            nq, self.metric)
 
     def describe(self) -> str:
         per = [s.store.ntotal for s in self.shards]

@@ -72,3 +72,15 @@ np.testing.assert_array_equal(Ii, Iix)
 np.testing.assert_array_equal(Di, Dix)
 print("hi_exact OK (bit-identical to plain), fallbacks:",
       idxi.fused_fallbacks)
+# range_search (faiss CSR contract) on the real chip: strict dist<radius,
+# complete vs the f64 oracle, distances fp32-exact on integer data
+rad = 180_000.0
+lims, Dr, Ir = idxi.range_search(xqi, rad)
+d2i = ((xqi.astype(np.float64)**2).sum(1)[:, None]
+       - 2.0 * xqi.astype(np.float64) @ xbi.astype(np.float64).T
+       + (xbi.astype(np.float64)**2).sum(1)[None, :])
+for r in range(32):
+    want = set(np.nonzero(d2i[r] < rad)[0].tolist())
+    assert set(Ir[lims[r]:lims[r+1]].tolist()) == want, r
+assert lims[-1] > 0, "radius too tight to exercise extraction"
+print("range_search OK:", int(lims[-1]), "hits over 32 queries")
