@@ -41,6 +41,17 @@ from .index import (
 from .parallel.sharded import ShardedIndexFlat
 from .io import save_index, load_index
 from .multi import IndexShardsHost, merge_search_results
+from .idmap import TpuIndexIDMap, TpuIndexIDMap2
+from .selector import (
+    IDSelector,
+    IDSelectorRange,
+    IDSelectorBatch,
+    IDSelectorMask,
+    IDSelectorNot,
+    IDSelectorAnd,
+    IDSelectorOr,
+    SearchParams,
+)
 from . import loader
 from . import native
 from . import utils
@@ -64,6 +75,16 @@ __all__ = [
     "load_index",
     "IndexShardsHost",
     "merge_search_results",
+    "TpuIndexIDMap",
+    "TpuIndexIDMap2",
+    "IDSelector",
+    "IDSelectorRange",
+    "IDSelectorBatch",
+    "IDSelectorMask",
+    "IDSelectorNot",
+    "IDSelectorAnd",
+    "IDSelectorOr",
+    "SearchParams",
     "loader",
     "native",
     "utils",

@@ -12,6 +12,8 @@ src/MetalIndexFlat.mm). API parity map:
     searchAsync(...) -> token           search_async(x, k) -> TpuSearchToken
     (range_search: not in the reference  range_search(x, radius) ->
      — its faiss::Index base throws)     (lims, D, I), faiss::IndexFlat parity
+    (remove_ids: same — base throws)     remove_ids(ids) -> n_removed
+    (merge_from: same — base throws)     merge_from(other)  # bit-exact
     reset()                             reset()
     reconstruct(key, out)               reconstruct(key) -> np.ndarray
     getVectorsData()                    vectors_numpy()  (None for bf16/f16)
@@ -46,6 +48,7 @@ from .ops import distance as dist_ops
 from .ops import pallas_fused
 from .ops import topk as topk_ops
 from .resources import TpuResources, default_resources
+from . import selector as sel_mod
 from .storage import ROW_TILE, DeviceStore, _round_up
 
 # Static-shape compile policy: queries padded to a multiple of this many rows.
@@ -58,11 +61,14 @@ RANGE_CAP0 = 1024
 
 
 def _masked_scores_block(db, norms, queries, ntotal, split, start, width, *,
-                         metric, int8, f16bits, pair_only, use_direct):
+                         metric, int8, f16bits, pair_only, use_direct,
+                         sel=None):
     """(nq_pad, width) scores for db rows [start, start+width) in the plain
     XLA arithmetic class (fp32-true w.r.t. the stored/decoded vectors),
     padding/invalid columns −inf. `start` may be traced. Shared by the plain
-    search path and range_search so their hit criteria can never drift."""
+    search path and range_search so their hit criteria can never drift.
+    ``sel`` (optional traced (capacity,) bool — selector.SearchParams):
+    excluded rows score −inf, exactly like padding."""
     ns = jax.lax.dynamic_slice_in_dim(norms, start, width, axis=0)
     if int8:
         dbs = jax.lax.dynamic_slice_in_dim(db, start, width, axis=0)
@@ -92,12 +98,16 @@ def _masked_scores_block(db, norms, queries, ntotal, split, start, width, *,
         else:
             s = dist_ops.matmul_scores(queries, dbs, ns, metric)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1) + start
-    return jnp.where(col < ntotal, s, -jnp.inf)
+    valid = col < ntotal
+    if sel is not None:
+        valid = valid & jax.lax.dynamic_slice_in_dim(
+            sel, start, width, axis=0)[None, :]
+    return jnp.where(valid, s, -jnp.inf)
 
 
 def _build_range_fn(*, nv_eff: int, chunk: int, cap: int,
                     metric: MetricType, use_direct: bool, int8: bool,
-                    f16bits: bool, pair_only: bool):
+                    f16bits: bool, pair_only: bool, with_sel: bool = False):
     """One jitted range-search scan over nv_eff/chunk column blocks.
 
     For each block: count rows whose score beats the (traced) threshold and
@@ -110,12 +120,16 @@ def _build_range_fn(*, nv_eff: int, chunk: int, cap: int,
     nchunks = nv_eff // chunk
 
     def fn(db, norms, queries, ntotal, thr, *split):
+        sel = None
+        if with_sel:
+            sel, split = split[0], split[1:]
+
         def body(c):
             start = c * chunk
             s = _masked_scores_block(
                 db, norms, queries, ntotal, split, start, chunk,
                 metric=metric, int8=int8, f16bits=f16bits,
-                pair_only=pair_only, use_direct=use_direct)
+                pair_only=pair_only, use_direct=use_direct, sel=sel)
             hit = s > thr  # strict: faiss's dist<radius (L2) / dist>radius (IP)
             counts = jnp.sum(hit, axis=-1, dtype=jnp.int32)
             v, i = topk_ops.topk_scores(jnp.where(hit, s, -jnp.inf), cap)
@@ -179,6 +193,7 @@ def _build_search_fn(
     f16bits: bool = False,
     hi_exact: bool = False,
     f16_clean: bool = False,
+    with_sel: bool = False,
 ):
     """Compile one search pipeline for a static (nv_eff, nq_pad, k) shape.
 
@@ -188,7 +203,10 @@ def _build_search_fn(
     applied on device. ``pair_only`` (storage.DeviceStore.pair_only): HBM
     holds only the bf16 (hi, lo) pair — `db` is db_hi and `split` is
     (db_hi, db_lo); every path scores against the pair-represented vectors.
+    ``with_sel``: fn takes a (capacity,) bool selector stream after
+    ``ntotal`` (selector.SearchParams) — plain path only.
     """
+    assert not (with_sel and use_fused)
     k_eff = min(k, nv_eff)
 
     def _finalize(vals, ids, ntotal):
@@ -210,6 +228,9 @@ def _build_search_fn(
         pair_only=pair_only, use_direct=use_direct)
 
     def fn(db, norms, queries, ntotal, *split):
+        sel = None
+        if with_sel:
+            sel, split = split[0], split[1:]
         if use_fused:
             # Pallas streaming kernel: group-max sweep + gather/rescore
             # (never materializes nq×nv — ops/pallas_fused.py). For fp32
@@ -241,7 +262,7 @@ def _build_search_fn(
             return _finalize(vals, ids, ntotal) + (cert,)
 
         blk = functools.partial(masked_block, db, norms, queries, ntotal,
-                                split)
+                                split, sel=sel)
         if nv_eff > chunk:
             # Two-stage streaming path: never materializes (nq, nv_eff).
             nfull = nv_eff // chunk
@@ -461,6 +482,45 @@ class TpuIndexFlat:
         self.store.reset()
         self._no_reduced_sweep.clear()  # new data, new margins
 
+    def remove_ids(self, ids) -> int:
+        """Remove the given vector ids; remaining vectors keep their order
+        and renumber down (faiss::IndexFlat::remove_ids semantics — the
+        reference never implements removal, its faiss::Index base throws).
+        Returns the number of vectors removed. Duplicate ids count once;
+        out-of-range ids raise IndexError. One jitted, donated device gather
+        per stored array — no host round-trip of the database."""
+        ids = np.unique(np.asarray(ids, np.int64).ravel())
+        if ids.size == 0:
+            return 0
+        if ids[0] < 0 or ids[-1] >= self.ntotal:
+            raise IndexError(
+                f"remove_ids: ids outside [0, {self.ntotal}): "
+                f"[{ids[0]}, {ids[-1]}]")
+        keep = np.setdiff1d(np.arange(self.ntotal, dtype=np.int64), ids,
+                            assume_unique=True)
+        self.store.remove_rows(keep)
+        self._no_reduced_sweep.clear()  # new data, new margins
+        return int(ids.size)
+
+    def merge_from(self, other: "TpuIndexFlat") -> None:
+        """faiss::IndexFlat::merge_from semantics: append ``other``'s
+        vectors to self (their ids continue at self.ntotal, insertion order
+        preserved) and empty ``other``. Bit-exact for every storage mode —
+        raw planes, pre-quantization norms, and certificate statistics
+        transfer at the storage level (DeviceStore.merge_storage); searching
+        the merged index equals searching an index built by the same add()
+        sequence. The reference never implements merging (faiss::Index base
+        throws)."""
+        if other is self:
+            raise ValueError("cannot merge an index into itself")
+        if other.d != self.d or other.metric is not self.metric:
+            raise ValueError(
+                f"merge_from: d/metric mismatch "
+                f"(({self.d}, {self.metric}) vs ({other.d}, {other.metric}))")
+        self.store.merge_storage(other.store)
+        self._no_reduced_sweep.clear()  # new data, new margins
+        other.reset()
+
     def reconstruct(self, key: int) -> np.ndarray:
         return self.store.reconstruct(key)
 
@@ -496,12 +556,17 @@ class TpuIndexFlat:
         return d, i
 
     def _run_search_fn(self, q, k: int, nq_pad: int, *, force_plain: bool,
-                       full_sweep: bool = False):
+                       full_sweep: bool = False, sel=None):
         """Build (cached) + enqueue one search program for the current shape.
 
         Returns (dists, labels, cert) unrealized device arrays.
         ``full_sweep`` forces the exact-pair nomination sweep (used by the
-        two-tier certificate fallback before resorting to the plain path)."""
+        two-tier certificate fallback before resorting to the plain path).
+        ``sel`` (host (capacity,) bool, selector.SearchParams): restrict the
+        search to admitted rows — runs the plain path (exact by
+        construction; see selector.py on why the fused kernels don't take
+        masks)."""
+        force_plain = force_plain or sel is not None
         nv_eff = _round_up(self.ntotal, ROW_TILE)
         # tail-free sweep: align to the 16384-row direct tile whenever the
         # HBM allocation already covers it (doubling growth → pow-2
@@ -557,10 +622,12 @@ class TpuIndexFlat:
                 nq_pad, pair_storage and not hi_exact)
         interpret = not self.res.capabilities.is_tpu
         pair_only = self.store.pair_only
+        with_sel = sel is not None
         key = (
             "flat_search", nv_eff, self.store.d_pad, nq_pad, int(k),
             self.metric, self.storage_type, use_direct, use_fused,
             tuning.chunk_v, pair_only, sweep_passes, hi_exact, f16_clean,
+            with_sel,
         )
         fn = self.res.cached(
             key,
@@ -580,6 +647,7 @@ class TpuIndexFlat:
                 f16bits=is_f16,
                 hi_exact=hi_exact,
                 f16_clean=f16_clean,
+                with_sel=with_sel,
             ),
         )
         split = ()
@@ -591,6 +659,8 @@ class TpuIndexFlat:
         elif self.store.db_hi is not None and (use_fused or pair_only):
             split = (self.store.db_hi, self.store.db_lo,
                      self.store.split_stats)
+        if with_sel:
+            split = (sel,) + split
         db_arg = self.store.db if self.store.db is not None else self.store.db_hi
         # the last element tells the fallback whether THIS search ran the
         # reduced single-pass sweep (tier-1 rerun + shape pinning apply);
@@ -601,15 +671,31 @@ class TpuIndexFlat:
             *split,
         ) + (use_fused, use_fused and sweep_passes == 1)
 
-    def _search_device(self, x: np.ndarray, k: int):
+    def _sel_stream(self, params):
+        """Evaluate ``params``' selector over this index's positional ids →
+        (capacity,) device bool stream, or None when nothing is filtered
+        (including the all-admitted selector, which keeps the fused path —
+        the result is identical by construction). Rows past ntotal are
+        False, matching the freshly-allocated padding state."""
+        mask = sel_mod.selector_mask(
+            params, np.arange(self.ntotal, dtype=np.int64))
+        if mask is None or mask.all():
+            return None
+        pad = np.zeros((self.store.capacity,), dtype=bool)
+        pad[: self.ntotal] = mask
+        return self.store._put(jnp.asarray(pad))
+
+    def _search_device(self, x: np.ndarray, k: int, params=None):
         """Enqueue the search; returns an unrealized token + nq."""
         if k <= 0:
             raise ValueError(f"k must be positive, got {k}")
         q, nq, nq_pad = self._prep_queries(x)
         if self.ntotal == 0:
+            sel_mod.selector_mask(params, np.empty(0, np.int64))  # validate
             return None, nq, nq_pad  # resolved on host, reference mm:328-334
+        sel = self._sel_stream(params)
         dists, labels, cert, use_fused, reduced = self._run_search_fn(
-            q, k, nq_pad, force_plain=False)
+            q, k, nq_pad, force_plain=False, sel=sel)
         fallback = None
         if use_fused:
             fallback = make_selective_fallback(
@@ -619,8 +705,12 @@ class TpuIndexFlat:
 
     def search(self, x: np.ndarray, k: int,
                params=None) -> Tuple[np.ndarray, np.ndarray]:
-        """Exact top-k search. Returns (distances f32 (nq,k), labels i64 (nq,k))."""
-        out, nq, _ = self._search_device(x, k)
+        """Exact top-k search. Returns (distances f32 (nq,k), labels i64
+        (nq,k)). ``params`` (selector.SearchParams): restrict the search to
+        the selector-admitted rows — honored exactly (the reference accepts
+        and silently IGNORES its params argument, MetalIndexFlat.mm:313-319;
+        see selector.py)."""
+        out, nq, _ = self._search_device(x, k, params)
         if out is None:
             return self._empty_result(nq, k)
         return TpuSearchToken(out[0], out[1], nq, out[2], out[3]).wait()
@@ -628,15 +718,40 @@ class TpuIndexFlat:
     def search_async(self, x: np.ndarray, k: int,
                      params=None) -> TpuSearchToken:
         """Non-blocking search (≈ searchAsync, MetalIndexFlat.mm:403-490)."""
-        out, nq, _ = self._search_device(x, k)
+        out, nq, _ = self._search_device(x, k, params)
         if out is None:
             tok = TpuSearchToken(None, None, nq)
             tok._result = self._empty_result(nq, k)
             return tok
         return TpuSearchToken(out[0], out[1], nq, out[2], out[3])
 
+    def assign(self, x: np.ndarray, k: int = 1) -> np.ndarray:
+        """Labels-only search (faiss::Index::assign — the reference inherits
+        it from the faiss base, MetalIndexFlat.h:47). Returns (nq, k) i64."""
+        return self.search(x, k)[1]
+
+    def search_and_reconstruct(
+        self, x: np.ndarray, k: int,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """faiss::Index::search_and_reconstruct: top-k search plus the
+        DECODED stored vectors of every result, R (nq, k, d) f32 (the same
+        bits reconstruct() returns — for reduced-precision storage that is
+        the dequantized row, not the original input). Sentinel -1 rows of R
+        are zero-filled. One host gather over the unique labels, so a
+        label appearing in many result lists decodes once."""
+        D, I = self.search(x, k)
+        R = np.zeros((I.shape[0], I.shape[1], self.d), dtype=np.float32)
+        uniq = np.unique(I[I >= 0])
+        dec = {int(key): self.reconstruct(int(key)) for key in uniq}
+        for q in range(I.shape[0]):
+            for j in range(I.shape[1]):
+                if I[q, j] >= 0:
+                    R[q, j] = dec[int(I[q, j])]
+        return D, I, R
+
     # -- range search ---------------------------------------------------------
-    def _run_range_fn(self, q, nq_pad: int, thr: np.float32, cap: int):
+    def _run_range_fn(self, q, nq_pad: int, thr: np.float32, cap: int,
+                      sel=None):
         """Build (cached) + run one range-search scan at the current shape.
         Returns host (counts (nchunks, nq_pad), vals, ids) arrays."""
         nv_eff = _round_up(self.ntotal, ROW_TILE)
@@ -659,14 +774,15 @@ class TpuIndexFlat:
                 "range_search result buffers would exceed 2 GB "
                 f"(~{(nv_eff // chunk) * nq_pad * cap} candidate slots); "
                 "split the query batch or tighten the radius")
+        with_sel = sel is not None
         key = ("range_search", nv_eff, self.store.d_pad, nq_pad, self.metric,
-               self.storage_type, use_direct, chunk, cap, pair_only)
+               self.storage_type, use_direct, chunk, cap, pair_only, with_sel)
         fn = self.res.cached(
             key,
             lambda: _build_range_fn(
                 nv_eff=nv_eff, chunk=chunk, cap=cap, metric=self.metric,
                 use_direct=use_direct, int8=is_int8, f16bits=is_f16,
-                pair_only=pair_only,
+                pair_only=pair_only, with_sel=with_sel,
             ),
         )
         if is_int8:
@@ -675,6 +791,8 @@ class TpuIndexFlat:
             split = (self.store.db_hi, self.store.db_lo)
         else:
             split = ()
+        if with_sel:
+            split = (sel,) + split
         db_arg = (self.store.db if self.store.db is not None
                   else self.store.db_hi)
         counts, vals, ids = fn(db_arg, self.store.norms, q,
@@ -682,7 +800,7 @@ class TpuIndexFlat:
         return jax.device_get((counts, vals, ids)) + (cap,)
 
     def range_search(
-        self, x: np.ndarray, radius: float,
+        self, x: np.ndarray, radius: float, params=None,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """All neighbors within ``radius`` of each query, faiss CSR layout:
         (lims (nq+1,) i64, D (lims[nq],) f32, I (lims[nq],) i64) with query
@@ -701,11 +819,13 @@ class TpuIndexFlat:
         exact either way), so results are complete for any radius."""
         q, nq, nq_pad = self._prep_queries(x)
         if self.ntotal == 0:
+            sel_mod.selector_mask(params, np.empty(0, np.int64))  # validate
             return (np.zeros(nq + 1, np.int64), np.empty(0, np.float32),
                     np.empty(0, np.int64))
+        sel = self._sel_stream(params)
         thr = np.float32(-radius if self.metric is MetricType.L2 else radius)
         return _range_csr(
-            lambda cap: self._run_range_fn(q, nq_pad, thr, cap),
+            lambda cap: self._run_range_fn(q, nq_pad, thr, cap, sel=sel),
             nq, self.metric)
 
     def describe(self) -> str:

@@ -20,6 +20,7 @@ import jax
 import numpy as np
 
 from .dtypes import MetricType, StorageType
+from .idmap import TpuIndexIDMap, TpuIndexIDMap2
 from .index import TpuIndexFlat
 from .parallel.sharded import ShardedIndexFlat
 
@@ -47,15 +48,24 @@ def _raw_bits(store, nt: int) -> np.ndarray:
     return rows.astype(np.float16).view(np.uint16)  # exact: value IS f16
 
 
-def save_index(index: Union[TpuIndexFlat, ShardedIndexFlat], path: str) -> None:
+def save_index(index, path: str) -> None:
     """Write the index to ``path`` (.npz). Exact: stores raw storage bits and
-    the fp32 norms, not a decoded copy."""
+    the fp32 norms, not a decoded copy. TpuIndexIDMap(2) wrappers persist
+    too (the custom id map rides alongside the inner index's bits — faiss's
+    write_index covers IndexIDMap the same way, faiss/index_io.h)."""
+    wrapper = None
+    id_map = None
+    if isinstance(index, TpuIndexIDMap):
+        wrapper = "idmap2" if isinstance(index, TpuIndexIDMap2) else "idmap"
+        id_map = index.id_map
+        index = index.index
     meta = {
         "format": _FORMAT_VERSION,
         "d": index.d,
         "metric": index.metric.value,
         "storage": index.storage_type.value,
         "ntotal": index.ntotal,
+        "wrapper": wrapper,
     }
     if isinstance(index, ShardedIndexFlat):
         parts = []
@@ -88,6 +98,8 @@ def save_index(index: Union[TpuIndexFlat, ShardedIndexFlat], path: str) -> None:
         st = (index.store if isinstance(index, TpuIndexFlat)
               else index.shards[0].store)
         extra["scales"] = np.asarray(jax.device_get(st.scales), np.float32)
+    if id_map is not None:
+        extra["id_map"] = np.asarray(id_map, np.int64)
     np.savez_compressed(path, meta=json.dumps(meta), vectors=vec, norms=nrm,
                         **extra)
 
@@ -102,8 +114,18 @@ def load_index(path: str, sharded: bool = False, resources=None,
         vec = z["vectors"]
         nrm = z["norms"]
         z_scales = z["scales"] if "scales" in z.files else None
+        z_idmap = z["id_map"] if "id_map" in z.files else None
     if meta["format"] != _FORMAT_VERSION:
         raise ValueError(f"unsupported index format {meta['format']}")
+
+    def _wrap(inner):
+        w = meta.get("wrapper")
+        if w is None:
+            return inner
+        out = (TpuIndexIDMap2 if w == "idmap2" else TpuIndexIDMap)(inner)
+        out.id_map = np.asarray(z_idmap, np.int64)
+        return out
+
     metric = MetricType.coerce(meta["metric"])
     storage = StorageType.coerce(meta["storage"])
     cls = ShardedIndexFlat if sharded else TpuIndexFlat
@@ -121,13 +143,13 @@ def load_index(path: str, sharded: bool = False, resources=None,
                 st.scales = st._put(sp)
             st._trained = True
     if meta["ntotal"] == 0:
-        return idx
+        return _wrap(idx)
     if storage is StorageType.FLOAT32:
         idx.add(vec)
-        return idx
+        return _wrap(idx)
     if storage is StorageType.INT8:
         _add_raw(idx, vec.astype(np.int8), nrm)
-        return idx
+        return _wrap(idx)
     # reduced precision: restore the exact bits + the original fp32 norms,
     # bypassing re-quantization
     import ml_dtypes
@@ -136,7 +158,7 @@ def load_index(path: str, sharded: bool = False, resources=None,
                 else np.float16)
     rows = vec.view(np_dtype)
     _add_raw(idx, rows, nrm)
-    return idx
+    return _wrap(idx)
 
 
 def _add_raw(idx, rows: np.ndarray, norms: np.ndarray) -> None:

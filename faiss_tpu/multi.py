@@ -16,6 +16,7 @@ import numpy as np
 
 from . import native
 from .dtypes import MetricType
+from .selector import IDSelectorMask, SearchParams, selector_mask
 
 
 def merge_search_results(
@@ -92,8 +93,25 @@ class IndexShardsHost:
             lo += cnt
         return out
 
-    def search(self, x: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
-        toks = [ix.search_async(x, k) for ix in self.indexes]  # all in flight
+    def _translate_params(self, params, which: int):
+        """Global-id selector → the sub-index's positional mask through the
+        extent table (the host-composition analog of faiss's
+        IDSelectorTranslated; see selector.py)."""
+        if params is None or getattr(params, "sel", None) is None:
+            selector_mask(params, np.empty(0, np.int64))  # validate type
+            return params
+        mask = np.zeros(self.indexes[which].ntotal, dtype=bool)
+        lo = 0
+        for base, cnt in self._extents[which]:
+            mask[lo: lo + cnt] = params.sel.is_member(
+                np.arange(base, base + cnt, dtype=np.int64))
+            lo += cnt
+        return SearchParams(IDSelectorMask(mask))
+
+    def search(self, x: np.ndarray, k: int,
+               params=None) -> Tuple[np.ndarray, np.ndarray]:
+        toks = [ix.search_async(x, k, params=self._translate_params(params, w))
+                for w, ix in enumerate(self.indexes)]  # all in flight
         results = []
         for w, t in enumerate(toks):
             D, I = t.wait()
@@ -101,13 +119,14 @@ class IndexShardsHost:
         return merge_search_results(results, k, self.metric)
 
     def range_search(
-        self, x: np.ndarray, radius: float,
+        self, x: np.ndarray, radius: float, params=None,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Host-merged range search (faiss CSR (lims, D, I) — see
         TpuIndexFlat.range_search): every sub-index contributes ALL its
         in-radius rows, so the union is complete by construction; per-query
         segments re-sorted best-first with global-id tiebreak."""
-        per = [(ix.range_search(x, radius), w)
+        per = [(ix.range_search(x, radius,
+                                params=self._translate_params(params, w)), w)
                for w, ix in enumerate(self.indexes)]
         nq = per[0][0][0].shape[0] - 1
         largest = self.metric is MetricType.INNER_PRODUCT
@@ -129,6 +148,41 @@ class IndexShardsHost:
             order = np.lexsort((I[seg], -D[seg] if largest else D[seg]))
             D[seg], I[seg] = D[seg][order], I[seg][order]
         return lims, D, I
+
+    def remove_ids(self, ids) -> int:
+        """Remove global ids with faiss's stable renumbering — see
+        TpuIndexFlat.remove_ids. Global ids map to (sub-index, local id)
+        through the extent table; each sub-index removes its own locals, and
+        the extents rebuild with the dense renumbering (survivors of one old
+        extent stay contiguous in both numberings because extents are
+        disjoint global ranges). Returns the number removed."""
+        ids = np.unique(np.asarray(ids, np.int64).ravel())
+        if ids.size == 0:
+            return 0
+        if ids[0] < 0 or ids[-1] >= self.ntotal:
+            raise IndexError(
+                f"remove_ids: ids outside [0, {self.ntotal}): "
+                f"[{ids[0]}, {ids[-1]}]")
+        new_extents: List[List[Tuple[int, int]]] = [[] for _ in self.indexes]
+        for w, exts in enumerate(self._extents):
+            local_rm = []
+            lo = 0
+            for base, cnt in exts:
+                gs = np.arange(base, base + cnt, dtype=np.int64)
+                rm = np.isin(gs, ids, assume_unique=True)
+                local_rm.append(lo + np.nonzero(rm)[0])
+                kept = cnt - int(rm.sum())
+                if kept:
+                    g_first = int(gs[~rm][0])
+                    new_extents[w].append(
+                        (g_first - int(np.searchsorted(ids, g_first)), kept))
+                lo += cnt
+            loc = np.concatenate(local_rm) if local_rm else np.empty(0)
+            if loc.size:
+                self.indexes[w].remove_ids(loc)
+        self._extents = new_extents
+        self.ntotal -= int(ids.size)
+        return int(ids.size)
 
     def reset(self) -> None:
         for ix in self.indexes:

@@ -35,6 +35,7 @@ from ..ops import distance as dist_ops
 from ..ops import pallas_fused
 from ..ops import topk as topk_ops
 from ..resources import TpuResources, default_resources
+from .. import selector as sel_mod
 from ..storage import ROW_TILE, DeviceStore, _round_up
 from ..index import (NQ_PAD, TpuSearchToken, make_selective_fallback,
                      _masked_scores_block, _range_csr)
@@ -60,17 +61,24 @@ def _build_sharded_search_fn(
     f16bits: bool = False,
     hi_exact: bool = False,
     f16_clean: bool = False,
+    with_sel: bool = False,
 ):
     """One shard_map program: local scan+select, ICI all-gather, k-merge.
 
     With ``use_fused`` the local scan is the Pallas streaming kernel
     (ops/pallas_fused.py) — each chip sweeps its own shard at HBM speed and
-    only the tiny k-lists ride the ICI."""
+    only the tiny k-lists ride the ICI. ``with_sel``: a per-shard
+    (cap_local,) bool selector stream rides sharded right after ``queries``
+    (selector.SearchParams — plain path only, see selector.py)."""
+    assert not (with_sel and use_fused)
     k_local = min(k, nv_eff)
 
     def per_device(db, norms, gids, ntotal_local, queries, *split):
         # db: (cap_local, d_pad), norms/gids: (cap_local,), ntotal_local: (1,)
         # queries: (nq_pad, d_pad) replicated; split: fp32 bf16 (hi, lo) pair.
+        sel = None
+        if with_sel:
+            sel, split = split[0], split[1:]
         nt = ntotal_local[0]
 
         def local_fused():
@@ -116,7 +124,11 @@ def _build_sharded_search_fn(
                 dbs = jax.lax.dynamic_slice_in_dim(db, start, width, axis=0)
                 s = dist_ops.matmul_scores(queries, dbs, ns, metric)
             col = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1) + start
-            return jnp.where(col < nt, s, -jnp.inf)
+            valid = col < nt
+            if sel is not None:
+                valid = valid & jax.lax.dynamic_slice_in_dim(
+                    sel, start, width, axis=0)[None, :]
+            return jnp.where(valid, s, -jnp.inf)
 
         cert = jnp.ones((nq_pad,), jnp.bool_)  # plain paths: exact always
         if use_fused:
@@ -177,6 +189,8 @@ def _build_sharded_search_fn(
     # `shards`, replicated over `replicas`; queries: split over `replicas`,
     # replicated over shards.
     in_specs = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(REPLICA_AXIS))
+    if with_sel:
+        in_specs = in_specs + (P(AXIS),)  # per-shard selector stream
     if int8:
         # scales replicated everywhere; per-shard max‖v_q‖ sharded
         in_specs = in_specs + (P(None), P(AXIS))
@@ -204,6 +218,7 @@ def _build_sharded_range_fn(
     int8: bool = False,
     f16bits: bool = False,
     pair_only: bool = False,
+    with_sel: bool = False,
 ):
     """Sharded range_search scan (see index._build_range_fn): every shard
     scans its own rows in nv_eff/chunk blocks with the SAME
@@ -216,6 +231,9 @@ def _build_sharded_range_fn(
     nchunks = nv_eff // chunk
 
     def per_device(db, norms, gids, ntotal_local, queries, thr, *split):
+        sel = None
+        if with_sel:
+            sel, split = split[0], split[1:]
         nt = ntotal_local[0]
 
         def body(c):
@@ -223,7 +241,7 @@ def _build_sharded_range_fn(
             s = _masked_scores_block(
                 db, norms, queries, nt, split, start, chunk,
                 metric=metric, int8=int8, f16bits=f16bits,
-                pair_only=pair_only, use_direct=False)
+                pair_only=pair_only, use_direct=False, sel=sel)
             hit = s > thr
             counts = jnp.sum(hit, axis=-1, dtype=jnp.int32)
             v, i = topk_ops.topk_scores(jnp.where(hit, s, -jnp.inf), cap)
@@ -237,6 +255,8 @@ def _build_sharded_range_fn(
         return jax.lax.map(body, jnp.arange(nchunks, dtype=jnp.int32))
 
     in_specs = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(REPLICA_AXIS), P())
+    if with_sel:
+        in_specs = in_specs + (P(AXIS),)          # per-shard selector stream
     if int8:
         in_specs = in_specs + (P(None),)          # scales replicated
     elif pair_only:
@@ -411,6 +431,62 @@ class ShardedIndexFlat:
         self._no_reduced_sweep.clear()
         self._extents = []
 
+    def remove_ids(self, ids) -> int:
+        """Remove global ids with faiss's stable renumbering (survivors keep
+        order, ids shift down) — see TpuIndexFlat.remove_ids. Returns the
+        number removed.
+
+        All bookkeeping is host-side over the contiguous gid extents (the
+        same discipline that makes reconstruct O(log batches)): each shard
+        compacts its rows with one donated device gather, and its gid column
+        is rewritten with the dense renumbering. Within one old extent the
+        survivors stay contiguous in BOTH the new global numbering (extents
+        are disjoint global ranges, so no foreign ids interleave) and the new
+        local numbering, so every surviving old extent maps to exactly one
+        new extent."""
+        ids = np.unique(np.asarray(ids, np.int64).ravel())
+        if ids.size == 0:
+            return 0
+        if ids[0] < 0 or ids[-1] >= self.ntotal:
+            raise IndexError(
+                f"remove_ids: ids outside [0, {self.ntotal}): "
+                f"[{ids[0]}, {ids[-1]}]")
+        p = self.num_shards
+        keep_local = [[] for _ in range(p)]  # surviving OLD local rows
+        new_gids = [[] for _ in range(p)]    # their NEW global ids
+        new_extents = []
+        off = [0] * p                        # next NEW local row per shard
+        for g0, g1, si, l0 in self._extents:  # sorted by gid → dense renumber
+            gs = np.arange(g0, g1, dtype=np.int64)
+            alive = ~np.isin(gs, ids, assume_unique=True)
+            gk = gs[alive]
+            if gk.size == 0:
+                continue
+            keep_local[si].append(l0 + (gk - g0))
+            ng0 = int(gk[0] - np.searchsorted(ids, gk[0]))
+            new_gids[si].append(np.arange(ng0, ng0 + gk.size, dtype=np.int32))
+            new_extents.append((ng0, ng0 + int(gk.size), si, off[si]))
+            off[si] += int(gk.size)
+        for si, s in enumerate(self.shards):
+            k = (np.concatenate(keep_local[si]) if keep_local[si]
+                 else np.empty(0, np.int64))
+            if k.size != s.store.ntotal:
+                s.store.remove_rows(k)
+            # gid columns renumber even on shards that lost no rows
+            if s.store.capacity and s.gids is not None:
+                gcol = np.full((s.store.capacity,), -1, np.int32)
+                if new_gids[si]:
+                    g = np.concatenate(new_gids[si])
+                    gcol[: g.size] = g
+                s.gids = jax.device_put(gcol, s.device)
+            else:
+                s.gids = None
+        self._extents = new_extents
+        self.ntotal -= int(ids.size)
+        self._assembled = None
+        self._no_reduced_sweep.clear()  # new data, new margins
+        return int(ids.size)
+
     def reconstruct(self, key: int) -> np.ndarray:
         """Decode one vector by global id: O(log batches) host bisect over
         the contiguous gid extents + ONE device_get of d floats (was an
@@ -551,11 +627,33 @@ class ShardedIndexFlat:
         )
         return q, qh, nq, nq_pad
 
+    def _sel_global(self, params):
+        """Evaluate ``params``' selector over GLOBAL ids → one (P·cap,) bool
+        stream sharded over the shards axis (each shard sees its local
+        (cap,) slice), or None when nothing is filtered. Host-side mapping
+        rides the contiguous gid extents — no device round-trip."""
+        if params is None or getattr(params, "sel", None) is None:
+            sel_mod.selector_mask(params, np.empty(0, np.int64))  # validate
+            return None
+        cap = self._assemble()[4]  # post-equalization per-shard capacity
+        masks = np.zeros((self.num_shards, cap), dtype=bool)
+        any_excluded = False
+        for g0, g1, si, l0 in self._extents:
+            m = params.sel.is_member(np.arange(g0, g1, dtype=np.int64))
+            masks[si, l0: l0 + (g1 - g0)] = m
+            any_excluded = any_excluded or not m.all()
+        if not any_excluded:
+            return None  # all-admitted: keep the fused path (identical)
+        return jax.device_put(
+            masks.reshape(-1), NamedSharding(self.mesh, P(AXIS)))
+
     def _run_search_fn(self, q, k: int, nq_pad: int, *, force_plain: bool,
-                       full_sweep: bool = False):
+                       full_sweep: bool = False, sel=None):
         """Build (cached) + enqueue one sharded program for the current shape.
 
-        Returns (dists, glabels, cert, use_fused)."""
+        Returns (dists, glabels, cert, use_fused). ``sel``: global selector
+        stream from _sel_global — forces the plain (exact) local scan."""
+        force_plain = force_plain or sel is not None
         db, norms, gids, ntotals, cap, split = self._assemble()
         max_local = max(s.store.ntotal for s in self.shards)
         nv_eff = min(cap, _round_up(max(max_local, 1), ROW_TILE))
@@ -599,10 +697,11 @@ class ShardedIndexFlat:
         pair_only = self.shards[0].store.pair_only
         is_int8 = self.storage_type is StorageType.INT8
         use_split = bool(split) and (is_int8 or use_fused or pair_only)
+        with_sel = sel is not None
         key = ("sharded_search", self.num_shards, self.num_replicas, nv_eff,
                cap, d_pad, nq_pad, int(k), self.metric,
                self.storage_type, chunk, use_fused, use_split, pair_only,
-               sweep_passes, hi_exact, f16_clean)
+               sweep_passes, hi_exact, f16_clean, with_sel)
         fn = self.res.cached(
             key,
             lambda: _build_sharded_search_fn(
@@ -614,22 +713,27 @@ class ShardedIndexFlat:
                 f16bits=self.storage_type is StorageType.FLOAT16,
                 hi_exact=hi_exact,
                 f16_clean=f16_clean,
+                with_sel=with_sel,
             ),
         )
-        args = (db, norms, gids, ntotals, q) + (split if use_split else ())
+        args = (db, norms, gids, ntotals, q) \
+            + ((sel,) if with_sel else ()) \
+            + (split if use_split else ())
         # last element: did THIS search run the reduced single-pass sweep
         # (tier-1 fallback + shape pinning apply)? Returned rather than
         # re-derived at the call site — the index.py mirror drifted once
         return fn(*args) + (use_fused, use_fused and sweep_passes == 1)
 
-    def _search_device(self, x: np.ndarray, k: int):
+    def _search_device(self, x: np.ndarray, k: int, params=None):
         if k <= 0:
             raise ValueError(f"k must be positive, got {k}")
         q, qh, nq, nq_pad = self._prep_queries(x)
         if self.ntotal == 0:
+            sel_mod.selector_mask(params, np.empty(0, np.int64))  # validate
             return None, nq, nq_pad
+        sel = self._sel_global(params)
         dists, glabels, cert, use_fused, reduced = self._run_search_fn(
-            q, k, nq_pad, force_plain=False)
+            q, k, nq_pad, force_plain=False, sel=sel)
         fallback = None
         if use_fused:
             fallback = make_selective_fallback(
@@ -644,7 +748,7 @@ class ShardedIndexFlat:
 
     def search(self, x: np.ndarray, k: int,
                params=None) -> Tuple[np.ndarray, np.ndarray]:
-        out, nq, _ = self._search_device(x, k)
+        out, nq, _ = self._search_device(x, k, params)
         if out is None:
             d = np.full((nq, k), worst_distance(self.metric), np.float32)
             return d, np.full((nq, k), -1, np.int64)
@@ -652,7 +756,7 @@ class ShardedIndexFlat:
 
     def search_async(self, x: np.ndarray, k: int,
                      params=None) -> TpuSearchToken:
-        out, nq, _ = self._search_device(x, k)
+        out, nq, _ = self._search_device(x, k, params)
         if out is None:
             tok = TpuSearchToken(None, None, nq)
             d = np.full((nq, k), worst_distance(self.metric), np.float32)
@@ -661,7 +765,8 @@ class ShardedIndexFlat:
         return TpuSearchToken(out[0], out[1], nq, out[2], out[3])
 
     # -- range search ---------------------------------------------------------
-    def _run_range_fn(self, q, nq_pad: int, thr: np.float32, cap: int):
+    def _run_range_fn(self, q, nq_pad: int, thr: np.float32, cap: int,
+                      sel=None):
         """Sharded analog of TpuIndexFlat._run_range_fn: one shard_map scan,
         per-shard chunk blocks stacked on the host chunk axis, global ids."""
         db, norms, gids, ntotals, cap_rows, split = self._assemble()
@@ -680,15 +785,16 @@ class ShardedIndexFlat:
                 "range_search result buffers would exceed 2 GB "
                 f"(~{nblocks * nq_pad * cap} candidate slots); "
                 "split the query batch or tighten the radius")
+        with_sel = sel is not None
         key = ("sharded_range", self.num_shards, self.num_replicas, nv_eff,
                cap_rows, self.shards[0].store.d_pad, nq_pad, self.metric,
-               self.storage_type, chunk, cap, pair_only)
+               self.storage_type, chunk, cap, pair_only, with_sel)
         fn = self.res.cached(
             key,
             lambda: _build_sharded_range_fn(
                 mesh=self.mesh, nv_eff=nv_eff, chunk=chunk, cap=cap,
                 metric=self.metric, int8=is_int8, f16bits=is_f16,
-                pair_only=pair_only,
+                pair_only=pair_only, with_sel=with_sel,
             ),
         )
         if is_int8:
@@ -697,11 +803,13 @@ class ShardedIndexFlat:
             rsplit = (split[0], split[1])   # (hi, lo)
         else:
             rsplit = ()
+        if with_sel:
+            rsplit = (sel,) + rsplit
         counts, vals, ids = fn(db, norms, gids, ntotals, q, thr, *rsplit)
         return jax.device_get((counts, vals, ids)) + (cap,)
 
     def range_search(
-        self, x: np.ndarray, radius: float,
+        self, x: np.ndarray, radius: float, params=None,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Sharded range search, faiss CSR contract — see
         TpuIndexFlat.range_search. Every shard contributes ALL its in-radius
@@ -709,11 +817,13 @@ class ShardedIndexFlat:
         global, per-query segments sorted best-first with id tiebreak."""
         q, _qh, nq, nq_pad = self._prep_queries(x)
         if self.ntotal == 0:
+            sel_mod.selector_mask(params, np.empty(0, np.int64))  # validate
             return (np.zeros(nq + 1, np.int64), np.empty(0, np.float32),
                     np.empty(0, np.int64))
+        sel = self._sel_global(params)
         thr = np.float32(-radius if self.metric is MetricType.L2 else radius)
         return _range_csr(
-            lambda cap: self._run_range_fn(q, nq_pad, thr, cap),
+            lambda cap: self._run_range_fn(q, nq_pad, thr, cap, sel=sel),
             nq, self.metric)
 
     def describe(self) -> str:

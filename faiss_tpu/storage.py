@@ -189,6 +189,17 @@ def _append_norms_fn(norms, new_norms, offset):
 _append_norms_jit = jax.jit(_append_norms_fn, donate_argnums=(0,))
 
 
+def _compact_fn(arr, idx):
+    # out-of-range indices (the compacted tail) fill with 0, restoring the
+    # freshly-allocated padding state search paths rely on
+    # idx is non-decreasing (survivors ascending, then the repeated sentinel)
+    return jnp.take(arr, idx, axis=0, mode="fill", fill_value=0,
+                    indices_are_sorted=True)
+
+
+_compact_jit = jax.jit(_compact_fn, donate_argnums=(0,))
+
+
 @jax.jit
 def _quantize_int8_fn(xd, scales):
     """Per-dim symmetric int8 quantization (scales from train()).
@@ -668,6 +679,112 @@ class DeviceStore:
         # int8 scales survive reset (faiss: is_trained persists)
         self.ntotal = 0
         self.capacity = 0
+
+    def merge_storage(self, other: "DeviceStore") -> None:
+        """Append ``other``'s stored rows to self BIT-EXACTLY (the device
+        half of faiss::IndexFlat::merge_from): raw storage planes, the
+        PRE-quantization fp32 norms, and the certificate statistics all
+        transfer. (A reconstruct + re-add merge would silently re-derive
+        norms from the DECODED vectors, changing reported distances for
+        reduced-precision storage — storage.py:9-12.) Stats union exactly:
+        split_stats / int_norm_max are running maxima, the f16 dirty and
+        int8 clip counters are sums. Layouts must match (same storage dtype
+        and pair_only); int8 additionally requires the same frozen scale
+        grid (an empty untrained self adopts other's)."""
+        if other is self:
+            raise ValueError("cannot merge a store into itself")
+        if (other.storage is not self.storage
+                or other.d != self.d
+                or other.pair_only != self.pair_only):
+            raise ValueError("merge: storage layouts differ")
+        if self.storage is StorageType.INT8 and other._trained:
+            if not self._trained and self.ntotal == 0:
+                self.scales = self._put(other.scales)  # adopt the grid
+                self._trained = True
+            elif not np.array_equal(jax.device_get(self.scales),
+                                    jax.device_get(other.scales)):
+                raise ValueError(
+                    "merge: int8 indexes must share the trained scale grid "
+                    "(requantization would not be exact)")
+        n = other.ntotal
+        if n == 0:
+            return
+        if self.ntotal + n > np.iinfo(np.int32).max:
+            raise ValueError("index size would exceed 2^31-1 vectors")
+        self._ensure_capacity(self.ntotal + n)
+        off = self.ntotal
+        with self._ctx():
+            if self.db is not None:
+                self.db = _append1_jit(self.db, self._put(other.db[:n]), off)
+            self.norms = _append_norms_jit(
+                self.norms, self._put(other.norms[:n]), off)
+            if self._has_split:
+                self.db_hi = _append1_jit(
+                    self.db_hi, self._put(other.db_hi[:n]), off)
+                self.db_lo = _append1_jit(
+                    self.db_lo, self._put(other.db_lo[:n]), off)
+            if other.split_stats is not None:
+                os_ = self._put(other.split_stats)
+                self.split_stats = (os_ if self.split_stats is None
+                                    else jnp.maximum(self.split_stats, os_))
+                self._split_stats_host = None
+            if other._f16_dirty is not None:
+                od = self._put(other._f16_dirty)
+                self._f16_dirty = (od if self._f16_dirty is None
+                                   else self._f16_dirty + od)
+                self._f16_clean_host = None
+            if other.int_norm_max is not None:
+                om = self._put(other.int_norm_max)
+                self.int_norm_max = (om if self.int_norm_max is None
+                                     else jnp.maximum(self.int_norm_max, om))
+            if other._int8_clipped is not None:
+                oc = self._put(other._int8_clipped)
+                self._int8_clipped = (oc if self._int8_clipped is None
+                                      else self._int8_clipped + oc)
+                self._int8_elems += other._int8_elems
+        if self.pair_only:
+            self._host_rows.append(
+                np.array(other._master_rows(0, n), copy=True))
+        self.ntotal += n
+
+    def remove_rows(self, keep: np.ndarray) -> None:
+        """Compact storage to the surviving local rows ``keep`` (sorted
+        ascending, unique), preserving their order — the device half of faiss
+        remove_ids' stable renumbering (the reference never implements
+        removal: its faiss::Index base throws). One jitted, donated gather
+        per stored array; capacity is kept so shape-keyed compiled search
+        programs stay cached.
+
+        Certificate statistics are intentionally left unchanged: removal can
+        only shrink the true maxima behind split_stats, the f16 dirty
+        counter, int_norm_max, and the int8 clip counter, so the stored
+        values remain SOUND (at worst marginally conservative) upper bounds
+        for the exactness certificate."""
+        keep = np.asarray(keep, np.int32)
+        n_new = int(keep.size)
+        if n_new == self.ntotal:
+            return
+        assert n_new < self.ntotal
+        if n_new == 0:
+            self.reset()  # preserves int8 scales / is_trained
+            return
+        # capacity-length gather index: survivors first, then out-of-range
+        # sentinels that _compact_fn fills with zeros
+        idx = np.full((self.capacity,), self.capacity, np.int32)
+        idx[:n_new] = keep
+        with self._ctx():
+            idxd = self._put(jnp.asarray(idx))
+            if self.db is not None:
+                self.db = _compact_jit(self.db, idxd)
+            self.norms = _compact_jit(self.norms, idxd)
+            if self._has_split:
+                self.db_hi = _compact_jit(self.db_hi, idxd)
+                self.db_lo = _compact_jit(self.db_lo, idxd)
+        if self.pair_only and self._host_rows:
+            if len(self._host_rows) > 1:
+                self._host_rows = [np.concatenate(self._host_rows)]
+            self._host_rows = [self._host_rows[0][keep]]
+        self.ntotal = n_new
 
     # -- access ---------------------------------------------------------------
     def _master_rows(self, i0: int, n: int) -> np.ndarray:

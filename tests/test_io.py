@@ -67,3 +67,31 @@ def test_empty_roundtrip(tmp_path):
     assert idx2.ntotal == 0 and idx2.metric.value == "ip"
     D, I = idx2.search(np.zeros((2, 32), np.float32), 3)
     assert (I == -1).all()
+
+
+def test_idmap_roundtrip(tmp_path):
+    """TpuIndexIDMap(2) wrappers persist: id map + inner bits round-trip."""
+    xb, xq = make_data(600, 4, 16)
+    im = faiss_tpu.TpuIndexIDMap2(TpuIndexFlat(16, storage="bf16"))
+    ids = np.arange(600, dtype=np.int64) * 7 + 3
+    im.add_with_ids(xb, ids)
+    im.remove_ids(ids[::5])  # persistence after mutation too
+    D1, I1 = im.search(xq, 5)
+    p = os.path.join(tmp_path, "idmap.npz")
+    faiss_tpu.save_index(im, p)
+    im2 = faiss_tpu.load_index(p)
+    assert isinstance(im2, faiss_tpu.TpuIndexIDMap2)
+    D2, I2 = im2.search(xq, 5)
+    np.testing.assert_array_equal(I1, I2)
+    np.testing.assert_array_equal(D1, D2)
+    # IDMap2 reverse map works on the reloaded index
+    key = int(I1[0, 0])
+    np.testing.assert_array_equal(im.reconstruct(key), im2.reconstruct(key))
+    # plain IDMap reloads as plain (no reconstruct-by-id)
+    im3 = faiss_tpu.TpuIndexIDMap(TpuIndexFlat(16))
+    im3.add_with_ids(xb, ids)
+    p3 = os.path.join(tmp_path, "idmap1.npz")
+    faiss_tpu.save_index(im3, p3)
+    im4 = faiss_tpu.load_index(p3)
+    assert isinstance(im4, faiss_tpu.TpuIndexIDMap)
+    assert not isinstance(im4, faiss_tpu.TpuIndexIDMap2)
