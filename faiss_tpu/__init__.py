@@ -42,6 +42,7 @@ from .parallel.sharded import ShardedIndexFlat
 from .io import save_index, load_index
 from .multi import IndexShardsHost, merge_search_results
 from .idmap import TpuIndexIDMap, TpuIndexIDMap2
+from .clustering import Kmeans, kmeans_clustering, knn, pairwise_distances
 from .selector import (
     IDSelector,
     IDSelectorRange,
@@ -77,6 +78,10 @@ __all__ = [
     "merge_search_results",
     "TpuIndexIDMap",
     "TpuIndexIDMap2",
+    "Kmeans",
+    "kmeans_clustering",
+    "knn",
+    "pairwise_distances",
     "IDSelector",
     "IDSelectorRange",
     "IDSelectorBatch",

@@ -731,7 +731,7 @@ class TpuIndexFlat:
         return self.search(x, k)[1]
 
     def search_and_reconstruct(
-        self, x: np.ndarray, k: int,
+        self, x: np.ndarray, k: int, params=None,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """faiss::Index::search_and_reconstruct: top-k search plus the
         DECODED stored vectors of every result, R (nq, k, d) f32 (the same
@@ -739,7 +739,7 @@ class TpuIndexFlat:
         the dequantized row, not the original input). Sentinel -1 rows of R
         are zero-filled. One host gather over the unique labels, so a
         label appearing in many result lists decodes once."""
-        D, I = self.search(x, k)
+        D, I = self.search(x, k, params=params)
         R = np.zeros((I.shape[0], I.shape[1], self.d), dtype=np.float32)
         uniq = np.unique(I[I >= 0])
         dec = {int(key): self.reconstruct(int(key)) for key in uniq}

@@ -118,6 +118,10 @@ class IndexShardsHost:
             results.append((D, self._globalize(w, I)))
         return merge_search_results(results, k, self.metric)
 
+    def assign(self, x: np.ndarray, k: int = 1) -> np.ndarray:
+        """Labels-only search (faiss::Index::assign)."""
+        return self.search(x, k)[1]
+
     def range_search(
         self, x: np.ndarray, radius: float, params=None,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

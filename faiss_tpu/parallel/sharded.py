@@ -764,6 +764,10 @@ class ShardedIndexFlat:
             return tok
         return TpuSearchToken(out[0], out[1], nq, out[2], out[3])
 
+    def assign(self, x: np.ndarray, k: int = 1) -> np.ndarray:
+        """Labels-only search (faiss::Index::assign)."""
+        return self.search(x, k)[1]
+
     # -- range search ---------------------------------------------------------
     def _run_range_fn(self, q, nq_pad: int, thr: np.float32, cap: int,
                       sel=None):

@@ -74,13 +74,41 @@ print("hi_exact OK (bit-identical to plain), fallbacks:",
       idxi.fused_fallbacks)
 # range_search (faiss CSR contract) on the real chip: strict dist<radius,
 # complete vs the f64 oracle, distances fp32-exact on integer data
-rad = 180_000.0
-lims, Dr, Ir = idxi.range_search(xqi, rad)
 d2i = ((xqi.astype(np.float64)**2).sum(1)[:, None]
        - 2.0 * xqi.astype(np.float64) @ xbi.astype(np.float64).T
        + (xbi.astype(np.float64)**2).sum(1)[None, :])
+# ~1.6k expected hits; integer-data distances sit near 1.4e6, so a fixed
+# radius silently collects nothing (caught by the CPU dry-run of this drive)
+rad = float(np.quantile(d2i, 1e-3))
+lims, Dr, Ir = idxi.range_search(xqi, rad)
 for r in range(32):
     want = set(np.nonzero(d2i[r] < rad)[0].tolist())
     assert set(Ir[lims[r]:lims[r+1]].tolist()) == want, r
 assert lims[-1] > 0, "radius too tight to exercise extraction"
 print("range_search OK:", int(lims[-1]), "hits over 32 queries")
+# filtered search (SearchParams selector — new surface), remove_ids,
+# merge_from, IDMap: drive the mutation + custom-id path on the chip
+half = 25_000
+selp = faiss_tpu.SearchParams(faiss_tpu.IDSelectorRange(0, half))
+Ds, Is = idxi.search(xqi, 10, params=selp)
+assert (Is < half).all() and (Is >= 0).all()
+subtop1 = d2i[:, :half].argmin(1)
+assert (Is[:, 0] == subtop1).all()
+print("selector OK (top-1 exact on admitted rows)")
+n0 = idxi.ntotal
+assert idxi.remove_ids(np.arange(0, n0, 5)) == len(range(0, n0, 5))
+fresh = faiss_tpu.TpuIndexFlat(128, storage="f32")
+keep = np.setdiff1d(np.arange(n0), np.arange(0, n0, 5))
+fresh.add(xbi[keep])
+Dr1, Ir1 = idxi.search(xqi, 10)
+Dr2, Ir2 = fresh.search(xqi, 10)
+np.testing.assert_array_equal(Ir1, Ir2)
+np.testing.assert_array_equal(Dr1, Dr2)
+print("remove_ids OK (bit-identical to fresh index on survivors)")
+im = faiss_tpu.TpuIndexIDMap(faiss_tpu.TpuIndexFlat(128, storage="f32"))
+im.add_with_ids(xbi[:10_000], np.arange(10_000, dtype=np.int64) * 3 + 7)
+Dm, Im = im.search(xqi, 5)
+assert ((Im - 7) % 3 == 0).all()
+assert (Im[:, 0] == d2i[:, :10_000].argmin(1) * 3 + 7).all()
+print("idmap OK (custom-id translation, top-1 exact)")
+print("VERIFY DRIVE COMPLETE")

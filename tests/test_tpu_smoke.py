@@ -152,3 +152,41 @@ def test_certificate_rate_real_tpu():
 def test_capabilities_measured_on_hardware():
     caps = faiss_tpu.describe_capabilities()
     assert "tpu" in caps.lower()
+
+
+def test_selector_filtered_search_real_tpu():
+    """Filtered search at the headline shape on hardware: the selector
+    stream rides the plain chunked path (selector.py); results must match
+    the f64 oracle restricted to the admitted rows (top-1 positional +
+    recall, the fp32 near-tie discipline)."""
+    idx = _index("f32")
+    half = NV // 2
+    sel = faiss_tpu.SearchParams(faiss_tpu.IDSelectorRange(0, half))
+    D_, I_ = idx.search(XQ[:8], K, params=sel)
+    assert (I_ < half).all() and (I_ >= 0).all()
+    sub_oracle = np.argsort(-_S64[:8, :half], axis=1, kind="stable")[:, :K]
+    np.testing.assert_array_equal(I_[:, 0], sub_oracle[:, 0])
+    r = float(np.mean([
+        len(set(I_[i]) & set(sub_oracle[i])) / K for i in range(8)
+    ]))
+    assert r >= 0.999, r
+
+
+def test_remove_ids_real_tpu():
+    """remove_ids on hardware: the donated compaction gather must leave an
+    index whose searches are BIT-identical to a fresh index built from the
+    survivors (same storage, same shape class -> same compiled program)."""
+    nv = 131_072
+    idx = TpuIndexFlat(D, metric="l2", storage="bf16")
+    idx.add(XB[:nv])
+    rm = np.arange(0, nv, 3)
+    assert idx.remove_ids(rm) == rm.size
+    D_, I_ = idx.search(XQ[:8], K)
+    keep = np.setdiff1d(np.arange(nv), rm)
+    fresh = TpuIndexFlat(D, metric="l2", storage="bf16")
+    fresh.add(XB[:nv][keep])
+    D2, I2 = fresh.search(XQ[:8], K)
+    np.testing.assert_array_equal(I_, I2)
+    np.testing.assert_array_equal(D_, D2)
+    idx.reset()
+    fresh.reset()
