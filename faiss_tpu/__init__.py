@@ -43,6 +43,7 @@ from .io import save_index, load_index
 from .multi import IndexShardsHost, merge_search_results
 from .idmap import TpuIndexIDMap, TpuIndexIDMap2
 from .clustering import Kmeans, kmeans_clustering, knn, pairwise_distances
+from .ivf import TpuIndexIVFFlat
 from .selector import (
     IDSelector,
     IDSelectorRange,
@@ -78,6 +79,7 @@ __all__ = [
     "merge_search_results",
     "TpuIndexIDMap",
     "TpuIndexIDMap2",
+    "TpuIndexIVFFlat",
     "Kmeans",
     "kmeans_clustering",
     "knn",

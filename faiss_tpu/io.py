@@ -22,6 +22,7 @@ import numpy as np
 from .dtypes import MetricType, StorageType
 from .idmap import TpuIndexIDMap, TpuIndexIDMap2
 from .index import TpuIndexFlat
+from .ivf import TpuIndexIVFFlat
 from .parallel.sharded import ShardedIndexFlat
 
 _FORMAT_VERSION = 1
@@ -67,6 +68,28 @@ def save_index(index, path: str) -> None:
         "ntotal": index.ntotal,
         "wrapper": wrapper,
     }
+    if isinstance(index, TpuIndexIVFFlat):
+        # IVF: centroids + the saved coarse ASSIGNMENT (a reload re-routes
+        # with the stored routing, never a fp32 re-assignment) + the raw
+        # stored bits and pre-quantization norms in insertion-id order
+        if not index.is_trained:
+            raise ValueError("cannot save an untrained IVF index")
+        meta.update(kind="ivf", nlist=index.nlist, nprobe=index.nprobe)
+        extra = {"centroids": np.zeros((index.nlist, index.d), np.float32)}
+        for j in range(index.nlist):
+            extra["centroids"][j] = index.quantizer.reconstruct(j)
+        if index.ntotal:
+            vec, nrm = index._rows_by_id()
+            extra["assign"] = index._assignments()
+        else:
+            vec = np.zeros((0, index.d), np.float32)
+            nrm = np.zeros((0,), np.float32)
+            extra["assign"] = np.zeros((0,), np.int64)
+        if id_map is not None:
+            extra["id_map"] = np.asarray(id_map, np.int64)
+        np.savez_compressed(path, meta=json.dumps(meta), vectors=vec,
+                            norms=nrm, **extra)
+        return
     if isinstance(index, ShardedIndexFlat):
         parts = []
         norms = []
@@ -115,6 +138,8 @@ def load_index(path: str, sharded: bool = False, resources=None,
         nrm = z["norms"]
         z_scales = z["scales"] if "scales" in z.files else None
         z_idmap = z["id_map"] if "id_map" in z.files else None
+        z_cents = z["centroids"] if "centroids" in z.files else None
+        z_assign = z["assign"] if "assign" in z.files else None
     if meta["format"] != _FORMAT_VERSION:
         raise ValueError(f"unsupported index format {meta['format']}")
 
@@ -128,6 +153,23 @@ def load_index(path: str, sharded: bool = False, resources=None,
 
     metric = MetricType.coerce(meta["metric"])
     storage = StorageType.coerce(meta["storage"])
+    if meta.get("kind") == "ivf":
+        if sharded:
+            raise ValueError("IVF indexes load single-device (sharded IVF "
+                             "is not implemented)")
+        idx = TpuIndexIVFFlat(meta["d"], meta["nlist"], metric=metric,
+                              storage=storage, nprobe=meta["nprobe"],
+                              resources=resources)
+        idx._set_centroids(np.asarray(z_cents, np.float32))
+        if meta["ntotal"]:
+            if vec.dtype != np.float32:
+                import ml_dtypes
+
+                vec = np.asarray(vec.view(ml_dtypes.bfloat16), np.float32)
+            idx._add_preassigned(np.asarray(vec, np.float32),
+                                 np.asarray(nrm, np.float32),
+                                 np.asarray(z_assign, np.int64))
+        return _wrap(idx)
     cls = ShardedIndexFlat if sharded else TpuIndexFlat
     idx = cls(meta["d"], metric=metric, storage=storage, resources=resources,
               keep_master=keep_master)

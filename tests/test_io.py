@@ -95,3 +95,30 @@ def test_idmap_roundtrip(tmp_path):
     im4 = faiss_tpu.load_index(p3)
     assert isinstance(im4, faiss_tpu.TpuIndexIDMap)
     assert not isinstance(im4, faiss_tpu.TpuIndexIDMap2)
+
+
+def test_ivf_roundtrip(tmp_path):
+    """IVF save/load: stored routing + raw bits reload bit-exactly, no
+    re-assignment (both storage modes)."""
+    import warnings
+    for storage in ("f32", "bf16"):
+        xb, xq = make_data(3000, 8, 16)
+        ix = faiss_tpu.TpuIndexIVFFlat(16, 8, nprobe=3, storage=storage,
+                                       seed=5)
+        ix.train(xb)
+        ix.add(xb)
+        D1, I1 = ix.search(xq, 6)
+        p = os.path.join(tmp_path, f"ivf_{storage}.npz")
+        faiss_tpu.save_index(ix, p)
+        ix2 = faiss_tpu.load_index(p)
+        assert isinstance(ix2, faiss_tpu.TpuIndexIVFFlat)
+        assert ix2.nprobe == 3 and ix2.ntotal == 3000
+        np.testing.assert_array_equal(ix2.list_sizes(), ix.list_sizes())
+        D2, I2 = ix2.search(xq, 6)
+        np.testing.assert_array_equal(I1, I2)
+        np.testing.assert_array_equal(D1, D2)
+        np.testing.assert_allclose(ix2.reconstruct(100), ix.reconstruct(100))
+    # untrained IVF cannot be saved
+    with pytest.raises(ValueError):
+        faiss_tpu.save_index(faiss_tpu.TpuIndexIVFFlat(16, 4),
+                             os.path.join(tmp_path, "bad.npz"))
