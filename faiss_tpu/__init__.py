@@ -53,6 +53,8 @@ from .selector import (
     IDSelectorAnd,
     IDSelectorOr,
     SearchParams,
+    SearchParameters,
+    SearchParametersIVF,
 )
 from . import loader
 from . import native
@@ -92,6 +94,8 @@ __all__ = [
     "IDSelectorAnd",
     "IDSelectorOr",
     "SearchParams",
+    "SearchParameters",
+    "SearchParametersIVF",
     "loader",
     "native",
     "utils",

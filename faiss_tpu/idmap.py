@@ -121,7 +121,8 @@ class TpuIndexIDMap:
         if params is None or getattr(params, "sel", None) is None:
             return params
         return SearchParams(
-            IDSelectorMask(params.sel.is_member(self.id_map)))
+            IDSelectorMask(params.sel.is_member(self.id_map)),
+            nprobe=params.nprobe)  # inner index honors or rejects it
 
     def search(self, x: np.ndarray, k: int,
                params=None) -> Tuple[np.ndarray, np.ndarray]:

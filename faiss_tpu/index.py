@@ -677,6 +677,7 @@ class TpuIndexFlat:
         (including the all-admitted selector, which keeps the fused path —
         the result is identical by construction). Rows past ntotal are
         False, matching the freshly-allocated padding state."""
+        sel_mod.reject_ivf_params(params)
         mask = sel_mod.selector_mask(
             params, np.arange(self.ntotal, dtype=np.int64))
         if mask is None or mask.all():

@@ -59,8 +59,10 @@ import numpy as np
 
 from .clustering import Kmeans
 from .dtypes import MetricType, StorageType, worst_distance
+from .index import RANGE_CAP0, _range_csr
 from .ops import distance as dist_ops
 from .resources import TpuResources, default_resources
+from . import selector as sel_mod
 from .storage import LANE, _round_up
 
 __all__ = ["TpuIndexIVFFlat"]
@@ -70,12 +72,68 @@ _CAP0 = 64         # initial per-list capacity
 _GATHER_BUDGET = 512 << 20  # bytes of gathered candidates per block
 
 
+def _probed_scores(*, cap: int, nprobe: int, metric: MetricType,
+                   store_f32: bool, with_sel: bool):
+    """Shared fine-scan block: gather the probed buckets for a QB-query
+    slice and score them — search and range_search use the SAME criterion
+    (like the flat index's `_masked_scores_block` discipline).
+
+    Returns block(data, norms, counts, ids, sel, q, qn, probe, b) ->
+    (scores (QB, ncand) with invalid/filtered -inf, cid (QB, ncand))."""
+    ncand = nprobe * cap
+
+    def block(data, norms, counts, ids, sel, q, qn, probe, b):
+        qs = jax.lax.dynamic_slice_in_dim(q, b * _QB, _QB, axis=0)
+        qns = jax.lax.dynamic_slice_in_dim(qn, b * _QB, _QB, axis=0)
+        pr = jax.lax.dynamic_slice_in_dim(probe, b * _QB, _QB, axis=0)
+        # slot indices of every candidate: (QB, nprobe, cap)
+        base = pr[..., None] * cap + jax.lax.iota(
+            jnp.int32, cap)[None, None, :]
+        flat = base.reshape(_QB, ncand)
+        cand = jnp.take(data, flat, axis=0)      # (QB, ncand, d_pad)
+        cnn = jnp.take(norms, flat, axis=0)      # (QB, ncand)
+        cid = jnp.take(ids, flat, axis=0)        # (QB, ncand)
+        cnt = jnp.take(counts, pr, axis=0)       # (QB, nprobe)
+        valid = (jax.lax.iota(jnp.int32, cap)[None, None, :]
+                 < cnt[..., None]).reshape(_QB, ncand)
+        if with_sel:
+            # selector stream indexed by SLOT (selector.SearchParams):
+            # filtered rows mask out exactly like padding
+            valid = valid & jnp.take(sel, flat, axis=0)
+        # fine distances, fp32-true to the stored bits (plain-path
+        # arithmetic class): batched q·v on the MXU, norm epilogue
+        dn = (((2,), (1,)), ((0,), (0,)))
+        if store_f32:
+            dots = jax.lax.dot_general(
+                cand, qs, dn, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        else:
+            # bf16 storage: bf16xbf16 products are exact in fp32; the
+            # 3-way query split makes the dot fp32-true to the stored
+            # rows (storage.split3_f32_bf16 discipline)
+            from .storage import split3_f32_bf16
+
+            dots = None
+            for qp in split3_f32_bf16(qs):
+                dp = jax.lax.dot_general(
+                    cand, qp, dn, preferred_element_type=jnp.float32)
+                dots = dp if dots is None else dots + dp
+        if metric is MetricType.L2:
+            s = 2.0 * dots - cnn - qns[:, None]
+        else:
+            s = dots
+        return jnp.where(valid, s, -jnp.inf), cid
+
+    return block
+
+
 def _build_ivf_search_fn(*, nlist: int, cap: int, nprobe: int, nq_pad: int,
                          k: int, d_pad: int, metric: MetricType,
-                         store_f32: bool):
+                         store_f32: bool, with_sel: bool = False):
     """fn(data (nlist*cap, d_pad), norms (nlist*cap,), counts (nlist,) i32,
     ids (nlist*cap,) i32, cents (nlist_pad, d_pad), cnorms (nlist_pad,),
-    q (nq_pad, d_pad)) -> (dists (nq_pad, k) f32, labels (nq_pad, k) i32).
+    q (nq_pad, d_pad) [, sel (nlist*cap,) bool])
+    -> (dists (nq_pad, k) f32, labels (nq_pad, k) i32).
 
     One jitted program: coarse GEMM -> top-nprobe -> lax.map over QB-query
     blocks, each ONE bucket gather + ONE batched MXU dot_general.
@@ -83,8 +141,10 @@ def _build_ivf_search_fn(*, nlist: int, cap: int, nprobe: int, nq_pad: int,
     ncand = nprobe * cap
     k_eff = min(k, ncand)
     nblocks = nq_pad // _QB
+    scores_blk = _probed_scores(cap=cap, nprobe=nprobe, metric=metric,
+                                store_f32=store_f32, with_sel=with_sel)
 
-    def fn(data, norms, counts, ids, cents, cnorms, q):
+    def fn(data, norms, counts, ids, cents, cnorms, q, sel=None):
         # coarse probe: same arithmetic as the quantizer's flat search;
         # padded centroid rows carry +inf norms -> -inf scores
         cs = dist_ops.matmul_scores(q, cents, cnorms, metric)
@@ -92,42 +152,8 @@ def _build_ivf_search_fn(*, nlist: int, cap: int, nprobe: int, nq_pad: int,
         qn = jnp.sum(q * q, axis=-1, dtype=jnp.float32)
 
         def block(b):
-            qs = jax.lax.dynamic_slice_in_dim(q, b * _QB, _QB, axis=0)
-            qns = jax.lax.dynamic_slice_in_dim(qn, b * _QB, _QB, axis=0)
-            pr = jax.lax.dynamic_slice_in_dim(probe, b * _QB, _QB, axis=0)
-            # slot indices of every candidate: (QB, nprobe, cap)
-            base = pr[..., None] * cap + jax.lax.iota(
-                jnp.int32, cap)[None, None, :]
-            flat = base.reshape(_QB, ncand)
-            cand = jnp.take(data, flat, axis=0)      # (QB, ncand, d_pad)
-            cnn = jnp.take(norms, flat, axis=0)      # (QB, ncand)
-            cid = jnp.take(ids, flat, axis=0)        # (QB, ncand)
-            cnt = jnp.take(counts, pr, axis=0)       # (QB, nprobe)
-            valid = (jax.lax.iota(jnp.int32, cap)[None, None, :]
-                     < cnt[..., None]).reshape(_QB, ncand)
-            # fine distances, fp32-true to the stored bits (plain-path
-            # arithmetic class): batched q·v on the MXU, norm epilogue
-            dn = (((2,), (1,)), ((0,), (0,)))
-            if store_f32:
-                dots = jax.lax.dot_general(
-                    cand, qs, dn, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-            else:
-                # bf16 storage: bf16xbf16 products are exact in fp32; the
-                # 3-way query split makes the dot fp32-true to the stored
-                # rows (storage.split3_f32_bf16 discipline)
-                from .storage import split3_f32_bf16
-
-                dots = None
-                for qp in split3_f32_bf16(qs):
-                    dp = jax.lax.dot_general(
-                        cand, qp, dn, preferred_element_type=jnp.float32)
-                    dots = dp if dots is None else dots + dp
-            if metric is MetricType.L2:
-                s = 2.0 * dots - cnn - qns[:, None]
-            else:
-                s = dots
-            s = jnp.where(valid, s, -jnp.inf)
+            s, cid = scores_blk(data, norms, counts, ids, sel, q, qn,
+                                probe, b)
             v, i = jax.lax.top_k(s, k_eff)
             lab = jnp.take_along_axis(cid, i, axis=-1)
             return v, lab
@@ -150,11 +176,57 @@ def _build_ivf_search_fn(*, nlist: int, cap: int, nprobe: int, nq_pad: int,
     return jax.jit(fn)
 
 
+def _build_ivf_range_fn(*, cap: int, nprobe: int, nq_pad: int, rcap: int,
+                        metric: MetricType, store_f32: bool,
+                        with_sel: bool = False):
+    """Range scan over the probed lists (faiss IndexIVF::range_search
+    semantics: hits are complete WITHIN the nprobe probed lists).
+
+    fn(data, norms, counts, ids, cents, cnorms, q, thr [, sel]) ->
+    (counts_out (1, nq_pad) i32, vals (1, nq_pad, rcap), gids (1, ...)) —
+    shaped as ONE chunk for the shared host CSR assembly (_range_csr);
+    counts are exact past rcap, so its capacity-doubling re-run applies."""
+    ncand = nprobe * cap
+    nblocks = nq_pad // _QB
+    rcap = min(rcap, ncand)
+    scores_blk = _probed_scores(cap=cap, nprobe=nprobe, metric=metric,
+                                store_f32=store_f32, with_sel=with_sel)
+
+    def fn(data, norms, counts, ids, cents, cnorms, q, thr, sel=None):
+        cs = dist_ops.matmul_scores(q, cents, cnorms, metric)
+        _, probe = jax.lax.top_k(cs, nprobe)
+        qn = jnp.sum(q * q, axis=-1, dtype=jnp.float32)
+
+        def block(b):
+            s, cid = scores_blk(data, norms, counts, ids, sel, q, qn,
+                                probe, b)
+            hit = s > thr  # strict, like the flat path
+            nhit = jnp.sum(hit, axis=-1, dtype=jnp.int32)
+            v, i = jax.lax.top_k(jnp.where(hit, s, -jnp.inf), rcap)
+            g = jnp.take_along_axis(cid, i, axis=-1)
+            return nhit, v, g
+
+        nh, v, g = jax.lax.map(block, jnp.arange(nblocks, dtype=jnp.int32))
+        return (nh.reshape(1, nq_pad), v.reshape(1, nq_pad, rcap),
+                g.reshape(1, nq_pad, rcap))
+
+    return jax.jit(fn)
+
+
 def _scatter_rows_fn(data, rows, slots):
     return data.at[slots].set(rows)
 
 
 _scatter_rows = jax.jit(_scatter_rows_fn, donate_argnums=(0,))
+
+
+def _compact_slots_fn(arr, perm):
+    # hole slots gather stale rows; every search path masks them via the
+    # per-list counts, and the ids column is rewritten with -1 there
+    return jnp.take(arr, perm, axis=0)
+
+
+_compact_slots = jax.jit(_compact_slots_fn, donate_argnums=(0,))
 
 
 def _pad_lists_fn(old, nlist, cap, new_cap):
@@ -323,12 +395,10 @@ class TpuIndexIVFFlat:
         return rows, norms[self._slot_of]
 
     # -- search ---------------------------------------------------------------
-    def search(self, x: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
-        """Top-k over the nprobe closest lists (faiss recall semantics:
-        exact distances within the probed lists; nprobe == nlist ==
-        exhaustive)."""
-        if k <= 0:
-            raise ValueError(f"k must be positive, got {k}")
+    def _prep_search(self, x: np.ndarray, params):
+        """Shared search/range_search prologue: validation, query padding,
+        probe width, and the selector stream (indexed by SLOT through the
+        id->slot map, so the fine scan masks filtered rows like padding)."""
         if not self.is_trained:
             raise RuntimeError("IndexIVFFlat requires train() before search")
         x = np.ascontiguousarray(x, np.float32)
@@ -337,10 +407,16 @@ class TpuIndexIVFFlat:
         if x.ndim != 2 or x.shape[1] != self.d:
             raise ValueError(f"expected (n, {self.d}) queries, got {x.shape}")
         nq = x.shape[0]
-        if self.ntotal == 0:
-            return (np.full((nq, k), worst_distance(self.metric), np.float32),
-                    np.full((nq, k), -1, np.int64))
-        nprobe = min(self.nprobe, self.nlist)
+        mask = sel_mod.selector_mask(
+            params, np.arange(self.ntotal, dtype=np.int64))
+        sel = None
+        if mask is not None and not mask.all():
+            s = np.zeros((self.nlist * self.cap,), bool)
+            s[self._slot_of[mask]] = True
+            sel = jnp.asarray(s)
+        # per-query probe-width override (faiss::SearchParametersIVF.nprobe)
+        req = getattr(params, "nprobe", None) if params is not None else None
+        nprobe = min(req if req is not None else self.nprobe, self.nlist)
         bytes_per_q = nprobe * self.cap * self.d_pad * (
             4 if self._dtype == jnp.float32 else 2)
         if _QB * bytes_per_q > _GATHER_BUDGET:
@@ -350,19 +426,111 @@ class TpuIndexIVFFlat:
         nq_pad = max(_QB, _round_up(nq, _QB))
         qp = np.zeros((nq_pad, self.d_pad), np.float32)
         qp[:nq, : self.d] = x
+        return qp, nq, nq_pad, nprobe, sel
+
+    def search(self, x: np.ndarray, k: int,
+               params=None) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k over the nprobe closest lists (faiss recall semantics:
+        exact distances within the probed lists; nprobe == nlist ==
+        exhaustive). ``params`` (selector.SearchParams): filtered rows mask
+        out of the fine scan exactly like padding."""
+        if k <= 0:
+            raise ValueError(f"k must be positive, got {k}")
+        qp, nq, nq_pad, nprobe, sel = self._prep_search(x, params)
+        if self.ntotal == 0:
+            return (np.full((nq, k), worst_distance(self.metric), np.float32),
+                    np.full((nq, k), -1, np.int64))
+        with_sel = sel is not None
         key = ("ivf_search", self.nlist, self.cap, nprobe, nq_pad, int(k),
-               self.d_pad, self.metric, self.storage_type)
+               self.d_pad, self.metric, self.storage_type, with_sel)
         fn = self.res.cached(
             key,
             lambda: _build_ivf_search_fn(
                 nlist=self.nlist, cap=self.cap, nprobe=nprobe,
                 nq_pad=nq_pad, k=int(k), d_pad=self.d_pad,
                 metric=self.metric,
-                store_f32=self._dtype == jnp.float32))
-        d_, i_ = jax.device_get(fn(
-            self._data, self._norms, self._counts_dev, self._ids,
-            self._cents, self._cnorms, jnp.asarray(qp)))
+                store_f32=self._dtype == jnp.float32,
+                with_sel=with_sel))
+        args = (self._data, self._norms, self._counts_dev, self._ids,
+                self._cents, self._cnorms, jnp.asarray(qp))
+        d_, i_ = jax.device_get(fn(*args, sel) if with_sel else fn(*args))
         return d_[:nq], i_[:nq].astype(np.int64)
+
+    def range_search(
+        self, x: np.ndarray, radius: float, params=None,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """All in-radius neighbors WITHIN the nprobe probed lists, faiss
+        CSR contract (faiss::IndexIVF::range_search semantics — completeness
+        is bounded by the probe like search recall; nprobe == nlist makes
+        it exhaustive). Same strict hit criterion and arithmetic class as
+        search()."""
+        qp, nq, nq_pad, nprobe, sel = self._prep_search(x, params)
+        if self.ntotal == 0:
+            return (np.zeros(nq + 1, np.int64), np.empty(0, np.float32),
+                    np.empty(0, np.int64))
+        thr = np.float32(-radius if self.metric is MetricType.L2 else radius)
+        with_sel = sel is not None
+
+        def run(rcap):
+            key = ("ivf_range", self.nlist, self.cap, nprobe, nq_pad, rcap,
+                   self.d_pad, self.metric, self.storage_type, with_sel)
+            fn = self.res.cached(
+                key,
+                lambda: _build_ivf_range_fn(
+                    cap=self.cap, nprobe=nprobe, nq_pad=nq_pad, rcap=rcap,
+                    metric=self.metric,
+                    store_f32=self._dtype == jnp.float32,
+                    with_sel=with_sel))
+            args = (self._data, self._norms, self._counts_dev, self._ids,
+                    self._cents, self._cnorms, jnp.asarray(qp), thr)
+            out = fn(*args, sel) if with_sel else fn(*args)
+            rc = min(rcap, nprobe * self.cap)
+            return jax.device_get(out) + (rc,)
+
+        return _range_csr(run, nq, self.metric)
+
+    def remove_ids(self, ids) -> int:
+        """Remove by insertion id with faiss's stable renumbering (survivors
+        keep order, ids shift down — faiss::IndexIVF::remove_ids). Lists
+        compact in place via ONE donated device gather over the flat slot
+        axis; all bookkeeping is host arithmetic on the id->slot map."""
+        ids = np.unique(np.asarray(ids, np.int64).ravel())
+        if ids.size == 0:
+            return 0
+        if ids[0] < 0 or ids[-1] >= self.ntotal:
+            raise IndexError(
+                f"remove_ids: ids outside [0, {self.ntotal}): "
+                f"[{ids[0]}, {ids[-1]}]")
+        keep = np.setdiff1d(np.arange(self.ntotal, dtype=np.int64), ids,
+                            assume_unique=True)
+        if keep.size == 0:
+            self.reset()
+            return int(ids.size)
+        old_slots = self._slot_of[keep]            # survivors, new-id order
+        lists = old_slots // self.cap
+        # new slot: compact each list preserving slot order (== insertion
+        # order within the list)
+        order = np.lexsort((old_slots, lists))    # list-major, slot-minor
+        sl, so = lists[order], old_slots[order]
+        rank = np.arange(keep.size) - np.searchsorted(sl, sl)
+        new_slots_sorted = sl * self.cap + rank
+        perm = np.zeros((self.nlist * self.cap,), np.int64)  # gather index
+        perm[new_slots_sorted] = so
+        new_ids_flat = np.full((self.nlist * self.cap,), -1, np.int32)
+        # survivor at new slot gets its NEW dense id (= rank in keep)
+        new_ids_flat[new_slots_sorted] = np.arange(
+            keep.size, dtype=np.int64)[order]
+        pj = jnp.asarray(perm.astype(np.int32))
+        self._data = _compact_slots(self._data, pj)
+        self._norms = _compact_slots(self._norms, pj)
+        self._ids = jax.device_put(jnp.asarray(new_ids_flat))
+        self._counts = np.bincount(sl, minlength=self.nlist).astype(np.int32)
+        self._counts_dev = jax.device_put(self._counts)
+        slot_of = np.empty(keep.size, np.int64)
+        slot_of[new_ids_flat[new_slots_sorted]] = new_slots_sorted
+        self._slot_of = slot_of
+        self.ntotal = keep.size
+        return int(ids.size)
 
     def assign(self, x: np.ndarray, k: int = 1) -> np.ndarray:
         return self.search(x, k)[1]

@@ -106,7 +106,8 @@ class IndexShardsHost:
             mask[lo: lo + cnt] = params.sel.is_member(
                 np.arange(base, base + cnt, dtype=np.int64))
             lo += cnt
-        return SearchParams(IDSelectorMask(mask))
+        # nprobe rides along untouched: the sub-index honors or rejects it
+        return SearchParams(IDSelectorMask(mask), nprobe=params.nprobe)
 
     def search(self, x: np.ndarray, k: int,
                params=None) -> Tuple[np.ndarray, np.ndarray]:

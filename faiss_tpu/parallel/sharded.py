@@ -632,6 +632,7 @@ class ShardedIndexFlat:
         stream sharded over the shards axis (each shard sees its local
         (cap,) slice), or None when nothing is filtered. Host-side mapping
         rides the contiguous gid extents — no device round-trip."""
+        sel_mod.reject_ivf_params(params)
         if params is None or getattr(params, "sel", None) is None:
             sel_mod.selector_mask(params, np.empty(0, np.int64))  # validate
             return None

@@ -37,6 +37,9 @@ __all__ = [
     "IDSelectorAnd",
     "IDSelectorOr",
     "SearchParams",
+    "SearchParameters",
+    "SearchParametersIVF",
+    "reject_ivf_params",
 ]
 
 
@@ -125,13 +128,32 @@ class IDSelectorOr(IDSelector):
 
 class SearchParams:
     """≈ faiss::SearchParameters: optional selector restricting the search.
-    Accepted by search / search_async / range_search."""
+    Accepted by search / search_async / range_search. ``nprobe`` is the
+    faiss::SearchParametersIVF per-query probe-width override — honored by
+    TpuIndexIVFFlat, REJECTED loudly by flat indexes (faiss dynamic_casts
+    its params and throws on a type mismatch; silent ignore is the
+    reference's trap, see module docstring)."""
 
-    def __init__(self, sel: Optional[IDSelector] = None):
+    def __init__(self, sel: Optional[IDSelector] = None,
+                 nprobe: Optional[int] = None):
         if sel is not None and not isinstance(sel, IDSelector):
             raise TypeError(
                 f"SearchParams.sel must be an IDSelector, got {type(sel)}")
+        if nprobe is not None:
+            nprobe = int(nprobe)
+            if nprobe < 1:
+                raise ValueError(f"nprobe must be >= 1, got {nprobe}")
         self.sel = sel
+        self.nprobe = nprobe
+
+
+def reject_ivf_params(params) -> None:
+    """Flat-index guard: a params.nprobe override on a non-IVF index is a
+    caller bug (faiss::IndexFlat would throw 'invalid search params')."""
+    if isinstance(params, SearchParams) and params.nprobe is not None:
+        raise ValueError(
+            "params.nprobe is an IVF parameter; this index has no coarse "
+            "quantizer (use TpuIndexIVFFlat, or drop nprobe)")
 
 
 def selector_mask(params, ids: np.ndarray) -> Optional[np.ndarray]:
@@ -146,3 +168,11 @@ def selector_mask(params, ids: np.ndarray) -> Optional[np.ndarray]:
     if params.sel is None:
         return None
     return params.sel.is_member(ids).astype(bool)
+
+
+# faiss spelling aliases (faiss::SearchParameters / SearchParametersIVF):
+# one params class serves both — flat indexes reject the IVF-only fields
+# via reject_ivf_params rather than by type, so a selector written for a
+# flat index works unchanged on an IVF index (faiss allows the same).
+SearchParameters = SearchParams
+SearchParametersIVF = SearchParams

@@ -166,3 +166,168 @@ def test_sentinels_when_probed_lists_have_too_few():
     assert (D[I == -1] == np.inf).all()
     valid = I >= 0
     assert valid.any()
+
+
+def test_ivf_selector_matches_subindex_routing():
+    """Filtered IVF == oracle restricted to admitted rows WITHIN the same
+    probed lists (exact on integer data)."""
+    from faiss_tpu import IDSelectorRange, SearchParams
+
+    xb, xq = int_data(4000, 6, 16, seed=21)
+    ix = TpuIndexIVFFlat(16, 16, nprobe=16, seed=3)  # exhaustive probe
+    ix.train(xb)
+    ix.add(xb)
+    sel = SearchParams(IDSelectorRange(1000, 3000))
+    D, I = ix.search(xq, 5, params=sel)
+    assert ((I >= 1000) & (I < 3000)).all()
+    flat = faiss_tpu.TpuIndexFlat(16)
+    flat.add(xb)
+    Df, If = flat.search(xq, 5, params=sel)
+    for qi in range(6):  # exhaustive probe + integer data: same sets
+        assert set(I[qi]) == set(If[qi]), qi
+    # all-admitted == unfiltered
+    D0, I0 = ix.search(xq, 5)
+    D1, I1 = ix.search(xq, 5, params=SearchParams(IDSelectorRange(0, 4000)))
+    np.testing.assert_array_equal(I0, I1)
+
+
+def test_ivf_range_search_exhaustive_equals_flat():
+    xb, xq = int_data(3000, 5, 16, seed=23)
+    ix = TpuIndexIVFFlat(16, 8, nprobe=8, seed=5)  # nprobe == nlist
+    ix.train(xb)
+    ix.add(xb)
+    flat = faiss_tpu.TpuIndexFlat(16)
+    flat.add(xb)
+    d2 = ((xq.astype(np.float64)[:, None]
+           - xb.astype(np.float64)[None]) ** 2).sum(-1)
+    rad = float(np.quantile(d2, 5e-3))
+    lims, D, I = ix.range_search(xq, rad)
+    limsf, Df, If = flat.range_search(xq, rad)
+    np.testing.assert_array_equal(lims, limsf)
+    np.testing.assert_array_equal(I, If)  # integer data: exact order too
+    np.testing.assert_array_equal(D, Df)
+
+
+def test_ivf_range_search_partial_probe_subset():
+    """nprobe < nlist: hits are exactly the flat hits whose rows live in
+    the probed lists (faiss IVF completeness semantics)."""
+    xb, xq = int_data(3000, 4, 16, seed=25)
+    ix = TpuIndexIVFFlat(16, 16, nprobe=3, seed=7)
+    ix.train(xb)
+    ix.add(xb)
+    d2 = ((xq.astype(np.float64)[:, None]
+           - xb.astype(np.float64)[None]) ** 2).sum(-1)
+    rad = float(np.quantile(d2, 2e-2))
+    lims, D, I = ix.range_search(xq, rad)
+    refD, refI = ivf_oracle(ix, xb, xq, 3000, 3)  # big k = all hits ranked
+    for qi in range(4):
+        want = {int(i) for i, dd in zip(refI[qi], refD[qi])
+                if i >= 0 and dd < rad}
+        assert set(I[lims[qi]:lims[qi + 1]].tolist()) == want, qi
+
+
+def test_ivf_remove_ids_stable_renumber():
+    xb, xq = int_data(2500, 5, 16, seed=27)
+    ix = TpuIndexIVFFlat(16, 8, nprobe=8, seed=9)
+    ix.train(xb)
+    ix.add(xb)
+    rm = np.arange(0, 2500, 4)
+    assert ix.remove_ids(rm) == rm.size
+    assert ix.ntotal == 2500 - rm.size
+    keep = np.setdiff1d(np.arange(2500), rm)
+    # fresh index on survivors, SAME quantizer -> same routing
+    fresh = TpuIndexIVFFlat(16, 8, nprobe=8, seed=9)
+    fresh._set_centroids(np.stack([
+        ix.quantizer.reconstruct(j) for j in range(8)]))
+    fresh.add(xb[keep])
+    D1, I1 = ix.search(xq, 7)
+    D2, I2 = fresh.search(xq, 7)
+    np.testing.assert_array_equal(I1, I2)
+    np.testing.assert_array_equal(D1, D2)
+    np.testing.assert_array_equal(ix.list_sizes(), fresh.list_sizes())
+    # reconstruct follows the renumbering
+    np.testing.assert_allclose(ix.reconstruct(0), xb[keep[0]])
+    # remove everything -> empty but trained
+    ix.remove_ids(np.arange(ix.ntotal))
+    assert ix.ntotal == 0 and ix.is_trained
+
+
+def test_ivf_nprobe_param_override():
+    """params.nprobe (faiss SearchParametersIVF) overrides the ctor width
+    per call; nprobe=nlist override on a narrow index == exhaustive."""
+    from faiss_tpu import SearchParametersIVF, SearchParams
+
+    xb, xq = int_data(3000, 5, 16, seed=31)
+    ix = TpuIndexIVFFlat(16, 16, nprobe=1, seed=11)
+    ix.train(xb)
+    ix.add(xb)
+    flat = faiss_tpu.TpuIndexFlat(16)
+    flat.add(xb)
+    D1, I1 = ix.search(xq, 6, params=SearchParametersIVF(nprobe=16))
+    Df, If = flat.search(xq, 6)
+    for qi in range(5):
+        assert set(I1[qi]) == set(If[qi]), qi
+    # the ctor width is untouched and still used without params
+    assert ix.nprobe == 1
+    D0, I0 = ix.search(xq, 6)
+    assert (I0 != I1).any()  # nprobe=1 on 16 lists differs somewhere
+    # range_search honors it too
+    d2 = ((xq.astype(np.float64)[:, None]
+           - xb.astype(np.float64)[None]) ** 2).sum(-1)
+    rad = float(np.quantile(d2, 5e-3))
+    lims, D, I = ix.range_search(xq, rad, params=SearchParams(nprobe=16))
+    limsf, Df_, If_ = flat.range_search(xq, rad)
+    np.testing.assert_array_equal(lims, limsf)
+    np.testing.assert_array_equal(I, If_)
+    with pytest.raises(ValueError):
+        SearchParams(nprobe=0)
+
+
+def test_flat_rejects_nprobe_param():
+    from faiss_tpu import SearchParams
+
+    xb, xq = int_data(300, 2, 8, seed=33)
+    flat = faiss_tpu.TpuIndexFlat(8)
+    flat.add(xb)
+    with pytest.raises(ValueError, match="nprobe"):
+        flat.search(xq, 3, params=SearchParams(nprobe=4))
+    with pytest.raises(ValueError, match="nprobe"):
+        flat.range_search(xq, 10.0, params=SearchParams(nprobe=4))
+
+
+def test_idmap_forwards_nprobe_to_ivf():
+    from faiss_tpu import SearchParametersIVF, TpuIndexIDMap
+
+    xb, xq = int_data(2000, 4, 16, seed=35)
+    ix = TpuIndexIVFFlat(16, 8, nprobe=1, seed=13)
+    ix.train(xb)
+    m = TpuIndexIDMap(ix)
+    ids = np.arange(2000, dtype=np.int64) * 7 + 3
+    m.add_with_ids(xb, ids)
+    D, I = m.search(xq, 5, params=SearchParametersIVF(nprobe=8))
+    flat = faiss_tpu.TpuIndexFlat(16)
+    flat.add(xb)
+    Df, If = flat.search(xq, 5)
+    for qi in range(4):
+        assert set(I[qi]) == set(ids[If[qi]]), qi
+
+
+def test_ivf_io_roundtrip_after_remove(tmp_path):
+    """save/load after remove_ids: the dense renumbering and per-list
+    compaction survive bit-exactly (vectors saved in insertion-id order)."""
+    xb, xq = int_data(1500, 4, 16, seed=37)
+    ix = TpuIndexIVFFlat(16, 8, nprobe=8, seed=15)
+    ix.train(xb)
+    ix.add(xb)
+    ix.remove_ids(np.arange(0, 1500, 3))
+    p = str(tmp_path / "ivf_rm.npz")
+    faiss_tpu.save_index(ix, p)
+    ix2 = faiss_tpu.load_index(p)
+    assert ix2.ntotal == ix.ntotal
+    D1, I1 = ix.search(xq, 6)
+    D2, I2 = ix2.search(xq, 6)
+    np.testing.assert_array_equal(I1, I2)
+    np.testing.assert_array_equal(D1, D2)
+    np.testing.assert_array_equal(ix.list_sizes(), ix2.list_sizes())
+    for j in (0, ix.ntotal - 1):
+        np.testing.assert_array_equal(ix.reconstruct(j), ix2.reconstruct(j))
