@@ -439,8 +439,15 @@ def groupmax_scores(
     scales=None,               # int8 storage: (d_pad,) per-dim quant scales
     with_block_max: bool = False,  # also return per-8-group supergroup max
     f16_clean: bool = False,   # int16 db: clean bits → lean in-kernel decode
+    sel=None,                  # (capacity,) bool selector stream, or None
 ) -> jax.Array:
     """(nq_pad, nv_eff/GROUP) per-group max of masked nomination scores.
+
+    ``sel`` (selector.SearchParams stream): excluded rows fold into the SAME
+    pre-masked norm stream as padding (+inf norm → −inf score), so filtered
+    search rides the fused kernels unchanged — no kernel edits, no extra
+    per-tile work (VERDICT r3 #3; the r3 "fused kernels don't take masks"
+    rationale was wrong for exactly this reason).
 
     ``sweep_passes=1``: REDUCED sweep — RNE-rounded queries instead of the
     exact (hi, lo) query pair, cutting one MXU pass everywhere (bf16: 2→1
@@ -458,13 +465,16 @@ def groupmax_scores(
     assert nq_pad % 8 == 0, nq_pad
     assert nv_eff % GROUP == 0, nv_eff
 
-    # validity mask pre-folded into the norm stream (built below)
+    # validity mask (padding AND selector) pre-folded into the norm stream
     def premask(nt_):
         col = jax.lax.iota(jnp.int32, nv_eff)
         vn_raw = jax.lax.slice_in_dim(db_norms, 0, nv_eff, axis=0)
+        ok = col < nt_
+        if sel is not None:
+            ok = ok & jax.lax.slice_in_dim(sel, 0, nv_eff, axis=0)
         if metric is MetricType.L2:
-            return jnp.where(col < nt_, vn_raw, jnp.inf)
-        return jnp.where(col < nt_, 0.0, jnp.inf)
+            return jnp.where(ok, vn_raw, jnp.inf)
+        return jnp.where(ok, 0.0, jnp.inf)
 
     if db.dtype == jnp.int8:
         assert scales is not None, "int8 sweep needs quantization scales"
@@ -604,15 +614,10 @@ def groupmax_scores(
         q_hi, q_lo = split_f32_bf16(queries_f32)
         bf16_kernel, pair_kernel, npass = _kernel_qpair, _kernel_split, 2
 
-    # Pre-masked norms: +inf past ntotal (L2: s = 2·dots − vn; IP: s = dots
-    # − vn with vn 0/+inf) — moves the validity mask out of the kernels'
-    # per-tile hot loop (one (nv_eff,) select per search, ~10 µs at 1M).
-    col = jax.lax.iota(jnp.int32, nv_eff)
-    vn_raw = jax.lax.slice_in_dim(db_norms, 0, nv_eff, axis=0)
-    if metric is MetricType.L2:
-        vn_m = jnp.where(col < nt, vn_raw, jnp.inf)
-    else:
-        vn_m = jnp.where(col < nt, 0.0, jnp.inf)
+    # Pre-masked norms: +inf past ntotal / on filtered rows (L2: s = 2·dots
+    # − vn; IP: s = dots − vn with vn 0/+inf) — moves the validity mask out
+    # of the kernels' per-tile hot loop (one (nv_eff,) select per search).
+    vn_m = premask(nt)
 
     def vn_of(start, nv):
         v = jax.lax.slice_in_dim(vn_m, start, start + nv, axis=0)
@@ -970,6 +975,22 @@ def _top_groups_from_bmax(
 HIER_MIN_GROUPS = 65536
 
 
+def _premask_norms(db_norms, ntotal, nv_eff, metric, sel=None):
+    """(nv_eff,) pre-masked norm stream: the raw ‖v‖² (L2) / 0.0 (IP) on
+    valid rows, +inf past ``ntotal`` AND on selector-excluded rows — the ONE
+    mechanism every sweep/rescore kernel uses to mask, so filtered rows
+    score −inf exactly like padding."""
+    nt = jnp.asarray(ntotal, jnp.int32).reshape(())
+    col = jax.lax.iota(jnp.int32, nv_eff)
+    vn_raw = jax.lax.slice_in_dim(db_norms, 0, nv_eff, axis=0)
+    ok = col < nt
+    if sel is not None:
+        ok = ok & jax.lax.slice_in_dim(sel, 0, nv_eff, axis=0)
+    if metric is MetricType.L2:
+        return jnp.where(ok, vn_raw, jnp.inf)
+    return jnp.where(ok, 0.0, jnp.inf)
+
+
 STRIPE = 8  # queries per rescore grid step (one NQ_PAD-aligned stripe)
 RESCORE_RANKS_PAIR = 4  # pair (db2) rescore: twice the operands per rank →
 #   request deeper DMA pipelining. NOTE: the requested depth only applies
@@ -1066,6 +1087,7 @@ def rescore_groups_pallas(
     ranks_per_step: int = 1,
     db2: jax.Array = None,    # bf16 lo halves: pair rescore (fp32 storage)
     f16_clean: bool = False,  # int16 db: clean bits → lean in-kernel decode
+    sel=None,                 # (capacity,) bool selector stream, or None
 ) -> jax.Array:
     """(nq_pad, kg·GROUP) fp32-true scores for each query's candidate groups.
 
@@ -1083,16 +1105,11 @@ def rescore_groups_pallas(
     kg = gidx.shape[1]
     rj = _ranks_per_step(kg, ranks_per_step)
     q0, q1, q2 = split3_f32_bf16(queries_f32)
-    nt = jnp.asarray(ntotal, jnp.int32).reshape(())
-    # pre-masked norms: +inf past ntotal (0/+inf for IP) — same stream the
-    # sweep uses, so masked columns are −inf with no in-kernel iota/compare
-    col = jax.lax.iota(jnp.int32, nv_eff)
-    vn_raw = jax.lax.slice_in_dim(db_norms, 0, nv_eff, axis=0)
-    if metric is MetricType.L2:
-        vn_m = jnp.where(col < nt, vn_raw, jnp.inf)
-    else:
-        vn_m = jnp.where(col < nt, 0.0, jnp.inf)
-    vn = vn_m.reshape(1, nv_eff)
+    # pre-masked norms: +inf past ntotal / on filtered rows (0/+inf for IP)
+    # — same stream the sweep uses, so masked columns are −inf with no
+    # in-kernel iota/compare
+    vn = _premask_norms(db_norms, ntotal, nv_eff, metric, sel).reshape(
+        1, nv_eff)
     # db passed WHOLE: gidx blocks always land below nv_eff; slicing would
     # copy the database when nv_eff < capacity
     dbs = db
@@ -1230,6 +1247,7 @@ def rescore_select_groups_pallas(
     interpret: bool = False,
     ranks_per_step: int = 1,
     f16_clean: bool = False,  # int16 db: clean bits → lean in-kernel decode
+    sel=None,                 # (capacity,) bool selector stream, or None
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused phase 3 + final selection: (vals (nq_pad, k) desc, ids
     (nq_pad, k) int32) — no (nq_pad, kg·GROUP) score array, no XLA top_k,
@@ -1241,14 +1259,8 @@ def rescore_select_groups_pallas(
     kg = gidx.shape[1]
     rj = _ranks_per_step(kg, ranks_per_step)
     q0, q1, q2 = split3_f32_bf16(queries_f32)
-    nt = jnp.asarray(ntotal, jnp.int32).reshape(())
-    col = jax.lax.iota(jnp.int32, nv_eff)
-    vn_raw = jax.lax.slice_in_dim(db_norms, 0, nv_eff, axis=0)
-    if metric is MetricType.L2:
-        vn_m = jnp.where(col < nt, vn_raw, jnp.inf)
-    else:
-        vn_m = jnp.where(col < nt, 0.0, jnp.inf)
-    vn = vn_m.reshape(1, nv_eff)
+    vn = _premask_norms(db_norms, ntotal, nv_eff, metric, sel).reshape(
+        1, nv_eff)
 
     def q_idx(i, jj, gidx_ref):
         return (i, 0)
@@ -1543,6 +1555,7 @@ def fused_search(
     int_norm_max=None,         # int8 storage: () f32 max ‖v_q‖ (certificate)
     hi_exact: bool = False,    # caller-proven max‖v_lo‖ == max‖resid‖ == 0
     f16_clean: bool = False,   # f16 bits proven subnormal/inf/NaN-free
+    sel=None,                  # (capacity,) bool selector stream, or None
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Full fused path: kernel group-max → top groups → gather+rescore.
 
@@ -1552,6 +1565,14 @@ def fused_search(
     the caller MUST fall back to an exact path for uncertified queries
     (index.py / sharded.py rerun the plain XLA path — the forceMPS-style
     cross-path, MetalDistance.mm:121-123). k_eff = min(k, nv_eff).
+
+    ``sel`` (selector.SearchParams stream): filtered rows mask to −inf via
+    the SAME pre-masked norm stream as padding, in the sweep AND every
+    rescore, so results/certificate semantics are those of the admitted
+    sub-database (VERDICT r3 #3 — filtered search stays on the fused path).
+    Soundness is unchanged: t is the max masked group-max over non-nominated
+    groups, ε bounds |sweep − rescore| per stored row (masked rows are −inf
+    on both sides), so certified results are the exact filtered top-k.
     """
     nq_pad, d_pad = queries_f32.shape
     k_eff = min(k, nv_eff)
@@ -1585,7 +1606,7 @@ def fused_search(
             queries_f32, sweep_db, db_norms, ntotal, sweep_split,
             metric=metric, nv_eff=nv_eff, interpret=interpret,
             sweep_passes=sweep_passes, scales=scales, with_block_max=True,
-            f16_clean=f16_clean,
+            f16_clean=f16_clean, sel=sel,
         )
         gidx, t = _top_groups_from_bmax(gmax, bmax, kg, ngroups)
         gidx = jnp.sort(gidx, axis=-1)
@@ -1594,6 +1615,7 @@ def fused_search(
             queries_f32, sweep_db, db_norms, ntotal, sweep_split,
             metric=metric, nv_eff=nv_eff, interpret=interpret,
             sweep_passes=sweep_passes, scales=scales, f16_clean=f16_clean,
+            sel=sel,
         )
         # phase 2 — top-(k+pad) groups; t is the certificate threshold
         # (max un-nominated group-max). Small kg runs the Pallas select
@@ -1626,7 +1648,7 @@ def fused_search(
         vals, ids = rescore_select_groups_pallas(
             qq, db, db_norms, gidx, ntotal,
             k=k_eff, metric=metric, nv_eff=nv_eff, interpret=interpret,
-            ranks_per_step=RESCORE_RANKS, f16_clean=f16_clean,
+            ranks_per_step=RESCORE_RANKS, f16_clean=f16_clean, sel=sel,
         )
         if is_int8:
             eps = _sweep_eps_int8(queries_f32, scales, int_norm_max,
@@ -1679,7 +1701,7 @@ def fused_search(
         s = rescore_groups_pallas(
             qs, db, db_norms, gidx, ntotal,
             metric=metric, nv_eff=nv_eff, interpret=interpret,
-            ranks_per_step=RESCORE_RANKS,
+            ranks_per_step=RESCORE_RANKS, sel=sel,
         )
     elif db.dtype in (jnp.bfloat16, jnp.int16):
         # bf16 rows (and f16-bits rows, decoded in-register): the
@@ -1690,7 +1712,7 @@ def fused_search(
             if (rescore_take and db.dtype == jnp.bfloat16) else \
             functools.partial(rescore_groups_pallas,
                               ranks_per_step=RESCORE_RANKS,
-                              f16_clean=f16_clean)
+                              f16_clean=f16_clean, sel=sel)
         s = rescore(
             queries_f32, db, db_norms, gidx, ntotal,
             metric=metric, nv_eff=nv_eff, interpret=interpret,
@@ -1717,7 +1739,7 @@ def fused_search(
             queries_f32, db_split[0], db_norms, gidx, ntotal,
             metric=metric, nv_eff=nv_eff, interpret=interpret,
             ranks_per_step=RESCORE_RANKS_PAIR,
-            db2=None if hi_exact else db_split[1],
+            db2=None if hi_exact else db_split[1], sel=sel,
         )
         m = k_eff + F32_CAND_PAD
         if (FINAL_SELECT_ENABLE and m <= SELECT_MAX_KG
@@ -1775,7 +1797,13 @@ def fused_search(
             s = 2.0 * dots - vn.reshape(nq_pad, kg * GROUP)
         else:
             s = dots
-    s = jnp.where(cols < ntotal, s, NEG_INF)
+    ok_cols = cols < ntotal
+    if sel is not None:
+        # XLA rescore variants gather RAW norms, so the selector must also
+        # ride the final candidate mask (the kernel rescores already mask
+        # via the pre-folded vn stream — this re-mask is then redundant)
+        ok_cols &= jnp.take(sel, cols, axis=0)
+    s = jnp.where(ok_cols, s, NEG_INF)
     if (FINAL_SELECT_ENABLE and k_eff <= SELECT_MAX_KG
             and k_eff < s.shape[-1] <= SELECT_MAX_GROUPS):
         # final top-k in-kernel (same extraction idiom as phase 2's select)

@@ -69,8 +69,8 @@ def _build_sharded_search_fn(
     (ops/pallas_fused.py) — each chip sweeps its own shard at HBM speed and
     only the tiny k-lists ride the ICI. ``with_sel``: a per-shard
     (cap_local,) bool selector stream rides sharded right after ``queries``
-    (selector.SearchParams — plain path only, see selector.py)."""
-    assert not (with_sel and use_fused)
+    (selector.SearchParams) — honored by the fused AND plain local scans
+    (the fused kernels fold it into the pre-masked norm stream)."""
     k_local = min(k, nv_eff)
 
     def per_device(db, norms, gids, ntotal_local, queries, *split):
@@ -99,6 +99,7 @@ def _build_sharded_search_fn(
                 int_norm_max=split[1][0] if int8 else None,
                 hi_exact=hi_exact,
                 f16_clean=f16_clean,
+                sel=sel,
             )
             if metric is MetricType.L2:
                 # restore the rank-invariant −‖q‖² so cross-shard scores share
@@ -653,8 +654,8 @@ class ShardedIndexFlat:
         """Build (cached) + enqueue one sharded program for the current shape.
 
         Returns (dists, glabels, cert, use_fused). ``sel``: global selector
-        stream from _sel_global — forces the plain (exact) local scan."""
-        force_plain = force_plain or sel is not None
+        stream from _sel_global — honored by every local-scan path, fused
+        included (folded into the pre-masked norm stream like padding)."""
         db, norms, gids, ntotals, cap, split = self._assemble()
         max_local = max(s.store.ntotal for s in self.shards)
         nv_eff = min(cap, _round_up(max(max_local, 1), ROW_TILE))
@@ -744,6 +745,7 @@ class ShardedIndexFlat:
                 reduced=reduced,
                 to_device=lambda qb: jax.device_put(
                     qb, NamedSharding(self.mesh, P(REPLICA_AXIS, None))),
+                sel=sel,
             )
         return (dists, glabels, cert, fallback), nq, nq_pad
 

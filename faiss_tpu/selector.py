@@ -10,13 +10,15 @@ nominated, and fewer-than-k admissible rows sentinel-fill like a small
 index (faiss semantics).
 
 TPU shape discipline: the selector becomes ONE device bool stream of
-capacity length, applied per column block in `_masked_scores_block` — the
-same code path search() and range_search() already share, so the filtered
-and unfiltered criteria cannot drift. Selector searches run the plain
-streaming path (exact by construction, certificate-free): the fused
-kernel's group-max nomination assumes every row competes, and a masked
-variant would need mask-aware certificates for little gain — filtering is
-a recall feature, not the QPS headline.
+capacity length. The plain paths apply it per column block in
+`_masked_scores_block`; the fused kernels fold it into the SAME pre-masked
+norm stream that already masks padding rows (+inf norm → −inf score in the
+sweep AND the rescore — ops/pallas_fused._premask_norms), so filtered
+search keeps the fused QPS (VERDICT r3 #3) and the filtered/unfiltered
+criteria cannot drift. The exactness certificate is unchanged: its
+threshold is the max masked group-max over non-nominated groups, and its ε
+bounds per-row sweep-vs-rescore error — excluded rows are −inf on both
+sides, so certified results are the exact top-k of the admitted subset.
 
 Selectors evaluate on the host over an int64 id vector (`is_member(ids)`),
 which lets TpuIndexIDMap translate them: positional indexes evaluate

