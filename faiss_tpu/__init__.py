@@ -21,6 +21,7 @@ extension):
     TpuResources, TpuDeviceCapabilities, query_device_capabilities
     TpuIndexFlat, TpuSearchToken, StorageType, MetricType
     ShardedIndexFlat
+    ShardedIndexIVFFlat
     index_cpu_to_tpu, index_tpu_to_cpu, index_numpy_to_tpu
 """
 
@@ -39,6 +40,7 @@ from .index import (
     index_numpy_to_tpu,
 )
 from .parallel.sharded import ShardedIndexFlat
+from .parallel.sharded_ivf import ShardedIndexIVFFlat
 from .io import save_index, load_index
 from .multi import IndexShardsHost, merge_search_results
 from .idmap import TpuIndexIDMap, TpuIndexIDMap2
@@ -72,6 +74,7 @@ __all__ = [
     "TpuIndexFlat",
     "TpuSearchToken",
     "ShardedIndexFlat",
+    "ShardedIndexIVFFlat",
     "index_cpu_to_tpu",
     "index_tpu_to_cpu",
     "index_numpy_to_tpu",

@@ -78,6 +78,9 @@ def save_index(index, path: str) -> None:
         extra = {"centroids": np.zeros((index.nlist, index.d), np.float32)}
         for j in range(index.nlist):
             extra["centroids"][j] = index.quantizer.reconstruct(j)
+        if index.storage_type is StorageType.INT8:
+            extra["scales"] = np.asarray(
+                jax.device_get(index._scales), np.float32)[: index.d]
         if index.ntotal:
             vec, nrm = index._rows_by_id()
             extra["assign"] = index._assignments()
@@ -160,14 +163,17 @@ def load_index(path: str, sharded: bool = False, resources=None,
         idx = TpuIndexIVFFlat(meta["d"], meta["nlist"], metric=metric,
                               storage=storage, nprobe=meta["nprobe"],
                               resources=resources)
+        if storage is StorageType.INT8:
+            idx._set_scales(np.asarray(z_scales, np.float32)[: meta["d"]])
         idx._set_centroids(np.asarray(z_cents, np.float32))
         if meta["ntotal"]:
-            if vec.dtype != np.float32:
+            if vec.dtype == np.int8:
+                pass  # raw codes land bit-exactly (no re-quantization)
+            elif vec.dtype != np.float32:
                 import ml_dtypes
 
                 vec = np.asarray(vec.view(ml_dtypes.bfloat16), np.float32)
-            idx._add_preassigned(np.asarray(vec, np.float32),
-                                 np.asarray(nrm, np.float32),
+            idx._add_preassigned(vec, np.asarray(nrm, np.float32),
                                  np.asarray(z_assign, np.int64))
         return _wrap(idx)
     cls = ShardedIndexFlat if sharded else TpuIndexFlat

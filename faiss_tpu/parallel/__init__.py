@@ -9,3 +9,4 @@ distances + top-k over its local shard and the k-lists are merged with one
 """
 
 from .sharded import ShardedIndexFlat  # noqa: F401
+from .sharded_ivf import ShardedIndexIVFFlat  # noqa: F401

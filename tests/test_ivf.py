@@ -54,7 +54,7 @@ def test_untrained_add_raises():
     with pytest.raises(RuntimeError):
         ix.search(np.zeros((2, 16), np.float32), 3)
     with pytest.raises(ValueError):
-        TpuIndexIVFFlat(16, 4, storage="int8")
+        TpuIndexIVFFlat(16, 4, storage="f16")  # f16 is flat-index-only
 
 
 def test_ivf_matches_numpy_oracle_exactly_on_integer_data():
@@ -331,3 +331,102 @@ def test_ivf_io_roundtrip_after_remove(tmp_path):
     np.testing.assert_array_equal(ix.list_sizes(), ix2.list_sizes())
     for j in (0, ix.ntotal - 1):
         np.testing.assert_array_equal(ix.reconstruct(j), ix2.reconstruct(j))
+
+
+# -- int8 inverted lists (VERDICT r3 #6: 1 B/elem — the flat index's int8
+#    contract reused: frozen per-dim scales, decoded norms, exact distances
+#    vs the decoded database) -------------------------------------------------
+
+def test_int8_storage_exhaustive_matches_flat_int8():
+    """nprobe == nlist int8 IVF == flat int8 index sharing the same frozen
+    scale grid (both train on the full set): same decoded database, same
+    ranking contract — result sets must match with close distances."""
+    xb, xq = int_data(3000, 6, 16, seed=29, hi=64)
+    ix = TpuIndexIVFFlat(16, 8, nprobe=8, storage="int8", seed=3)
+    ix.train(xb)
+    ix.add(xb)
+    flat = faiss_tpu.TpuIndexFlat(16, storage="int8")
+    flat.train(xb)
+    flat.add(xb)
+    D, I = ix.search(xq, 5)
+    Df, If = flat.search(xq, 5)
+    for qi in range(6):
+        assert set(I[qi]) == set(If[qi]), qi
+    np.testing.assert_allclose(np.sort(D, 1), np.sort(Df, 1),
+                               rtol=1e-5, atol=1e-4)
+    assert "int8_clipped_fraction" in ix.describe()
+
+
+def test_int8_ivf_oracle_on_decoded_database():
+    """Partial probe: results equal the float64 IVF oracle evaluated on the
+    DECODED rows (the int8 ranking contract) with the same probed lists."""
+    xb, xq = int_data(4000, 5, 24, seed=31, hi=100)
+    ix = TpuIndexIVFFlat(24, 16, nprobe=4, storage="int8", seed=7)
+    ix.train(xb)
+    ix.add(xb)
+    dec = np.stack([ix.reconstruct(i) for i in range(0, 4000, 997)])
+    # reconstruct decodes through the scales: codes * s
+    sc = np.maximum(np.abs(xb).max(axis=0) / 127.0, 1e-12)
+    want = np.clip(np.round(xb[::997] / sc), -127, 127) * sc
+    np.testing.assert_allclose(dec, want.astype(np.float32), rtol=1e-6)
+    xb_dec = (np.clip(np.round(xb / sc), -127, 127) * sc).astype(np.float32)
+    D, I = ix.search(xq, 6)
+    refD, refI = ivf_oracle_on(ix, xb_dec, xq, 6, 4)
+    np.testing.assert_array_equal(I, refI)
+    ok = refI >= 0
+    np.testing.assert_allclose(D[ok], refD[ok], rtol=1e-4, atol=1e-3)
+
+
+def ivf_oracle_on(index, xb_scored, xq, k, nprobe):
+    """ivf_oracle but scoring a caller-supplied (decoded) database while
+    routing by the index's own assignment of the ORIGINAL rows."""
+    return ivf_oracle(index, xb_scored, xq, k, nprobe)
+
+
+def test_int8_ivf_io_roundtrip(tmp_path):
+    from faiss_tpu import io as ft_io
+
+    xb, xq = int_data(2000, 4, 16, seed=37, hi=200)
+    ix = TpuIndexIVFFlat(16, 8, nprobe=3, storage="int8", seed=5)
+    ix.train(xb)
+    ix.add(xb)
+    p = str(tmp_path / "ivf_int8.npz")
+    ft_io.save_index(ix, p)
+    back = ft_io.load_index(p)
+    D0, I0 = ix.search(xq, 5)
+    D1, I1 = back.search(xq, 5)
+    np.testing.assert_array_equal(I0, I1)   # bit-exact reload (same codes)
+    np.testing.assert_array_equal(D0, D1)
+    assert back.storage_type.value == "int8"
+
+
+def test_int8_ivf_untrained_add_raises():
+    ix = TpuIndexIVFFlat(16, 4, storage="int8")
+    assert not ix.is_trained
+    with pytest.raises(RuntimeError):
+        ix.add(np.zeros((10, 16), np.float32))
+
+
+# -- async tokens (VERDICT r3 #5: the fine scan is one jitted program —
+#    stop blocking on device_get) --------------------------------------------
+
+def test_ivf_search_async_matches_sync():
+    xb, xq = int_data(3000, 6, 16, seed=41)
+    ix = TpuIndexIVFFlat(16, 8, nprobe=4, seed=3)
+    ix.train(xb)
+    ix.add(xb)
+    toks = [ix.search_async(xq, 5), ix.search_async(xq, 7)]
+    D0, I0 = ix.search(xq, 5)
+    D1, I1 = toks[0].wait()          # waited out of order is fine
+    np.testing.assert_array_equal(I0, I1)
+    np.testing.assert_array_equal(D0, D1)
+    D2, I2 = toks[1].wait()
+    assert I2.shape == (6, 7) and I2.dtype == np.int64
+    assert toks[0].is_ready() and toks[1].is_ready()
+    # empty index resolves immediately
+    empty = TpuIndexIVFFlat(16, 8, seed=3)
+    empty.train(xb)
+    tok = empty.search_async(xq, 4)
+    assert tok.is_ready()
+    De, Ie = tok.wait()
+    assert (Ie == -1).all() and (De == np.inf).all()
