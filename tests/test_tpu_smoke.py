@@ -77,7 +77,11 @@ def test_fused_search_real_tpu(storage, min_recall):
     assert I_.shape == (NQ, K) and D_.shape == (NQ, K)
     r = _recall(I_)
     assert r >= min_recall, (storage, r)
-    assert np.all(np.diff(D_, axis=1) <= 1e-5), "scores must descend"
+    # L2 DISTANCES ascend best-first (the internal max-is-best scores are
+    # negated at the API boundary — scores_to_distances); the original
+    # "<= 1e-5 descending" form had never executed (this suite only runs
+    # on hardware and its first run died to the r3 outage)
+    assert np.all(np.diff(D_, axis=1) >= -1e-5), "distances must ascend"
     # cross-path discipline on a subset (plain at 1M×128 materializes the
     # full score matrix — one batch is enough evidence). Contract: same
     # top-k SET and close distances; positional order may legitimately
