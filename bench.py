@@ -30,7 +30,7 @@ import tempfile
 
 BASELINE_QPS = 2600.0
 NV, D, NQ, K = 1_000_000, 128, 100, 10
-SUBPROC_TIMEOUT_S = 3000
+SUBPROC_TIMEOUT_S = 3600  # all 5 configs, 2 interleaved measurement rounds
 
 _CHILD_SRC = r"""
 import json, sys, time
@@ -48,20 +48,38 @@ xb_i = rng.integers(0, 256, (NV, D)).astype(np.float32)
 xq_i = rng.integers(0, 256, (NQ, D)).astype(np.float32)
 CONFIGS = [("f32", xb, xq), ("bf16", xb, xq), ("f16", xb, xq),
            ("int8", xb, xq), ("f32_sift", xb_i, xq_i)]
-for name, base, queries in CONFIGS:  # one process = one claim
+# Build every index up front (one process = one claim; all five fit HBM
+# together: ~2.6 GB of 16), then measure the configs INTERLEAVED across two
+# rounds, keeping the best block per config. Tunnel throughput drifts +-40%
+# with ambient load over a multi-minute run; r3's sequential measurement
+# charged that drift to whichever config ran last (BENCH_r03's hi_exact row
+# read 31% BELOW plain fp32 while the same-process device slope showed it
+# 1.77x FASTER — measurements_r4/r3m.log). Interleaving removes order bias;
+# rounds["per_round_ms"] records the drift so the artifact explains itself.
+built = []
+for name, base, queries in CONFIGS:
     storage = name.split("_")[0]
     idx = faiss_tpu.TpuIndexFlat(D, metric="l2", storage=storage)
     t0 = time.perf_counter(); idx.add(base); add_s = time.perf_counter() - t0
-    lat, pipe = measure_search(idx, queries, K)
+    built.append((name, base, queries, idx, add_s))
+res = {}
+for rnd in range(2):
+    for name, base, queries, idx, add_s in built:
+        lat, pipe = measure_search(idx, queries, K)
+        r = res.setdefault(name, {
+            "storage": name, "latency_ms": lat, "pipelined_ms": pipe,
+            "add_s": add_s, "per_round_ms": []})
+        r["per_round_ms"].append(round(pipe, 3))
+        r["latency_ms"] = min(r["latency_ms"], lat)
+        r["pipelined_ms"] = min(r["pipelined_ms"], pipe)
+for name, base, queries, idx, _ in built:
     D_out, I_out = idx.search(queries, K)
-    recall = _oracle_recall(base, queries, K, "l2", I_out)  # ALL queries
-    print("RESULT " + json.dumps({
-        "storage": name, "qps": NQ / (pipe / 1e3), "latency_ms": lat,
-        "pipelined_ms": pipe, "recall": recall, "add_s": add_s,
-        "fallbacks": idx.fused_fallbacks,
-        "reduced_pinned": sorted(idx._no_reduced_sweep),
-    }), flush=True)
-    del idx
+    r = res[name]
+    r["recall"] = _oracle_recall(base, queries, K, "l2", I_out)  # ALL queries
+    r["qps"] = NQ / (r["pipelined_ms"] / 1e3)
+    r["fallbacks"] = idx.fused_fallbacks
+    r["reduced_pinned"] = sorted(idx._no_reduced_sweep)
+    print("RESULT " + json.dumps(r), flush=True)
 """
 
 

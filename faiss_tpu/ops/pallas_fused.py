@@ -1171,6 +1171,11 @@ def rescore_groups_pallas(
 # the measured win of the same idea at phase 2 (select_groups_pallas,
 # +0.012 vs +0.176 ms) IS on by default.
 RESCORE_SELECT_MAX_K = 32
+# final selection: candidate rows at least this wide route to the exact
+# two-stage blocked top-k (topk.blocked_topk_scores) instead of one flat
+# lax.top_k — only reachable at large k (small k runs the final-select
+# kernel), where the flat sort over kg·GROUP columns dominates (r3n)
+FINAL_BLOCKED_MIN = 65536
 _BIG_ID = np.int32(1 << 30)  # plain numpy: a jnp const would be captured
 
 
@@ -1753,7 +1758,12 @@ def fused_search(
                                             interpret=interpret)
             ccols = jnp.take_along_axis(cols, ppos, axis=-1)
         else:
-            _, ppos = jax.lax.top_k(s_pair, m)
+            if s_pair.shape[-1] >= FINAL_BLOCKED_MIN:
+                from . import topk as topk_ops
+
+                _, ppos = topk_ops.blocked_topk_scores(s_pair, m)
+            else:
+                _, ppos = jax.lax.top_k(s_pair, m)
             t2 = jnp.take_along_axis(
                 s_pair, ppos[:, m - 1:m], axis=-1)[:, 0]
             # ascending candidate ids → stable top_k keeps the plain
@@ -1808,6 +1818,13 @@ def fused_search(
             and k_eff < s.shape[-1] <= SELECT_MAX_GROUPS):
         # final top-k in-kernel (same extraction idiom as phase 2's select)
         vals, pos = final_select_pallas(s, k_eff, interpret=interpret)
+        ids = jnp.take_along_axis(cols, pos, axis=-1)
+    elif s.shape[-1] >= FINAL_BLOCKED_MIN:
+        # large-k over a wide candidate row: exact two-stage blocked top-k
+        # (r3n: the flat top-1024 over 131k columns was ~1.2 of 2.31 ms)
+        from . import topk as topk_ops
+
+        vals, pos = topk_ops.blocked_topk_scores(s, k_eff)
         ids = jnp.take_along_axis(cols, pos, axis=-1)
     else:
         # indices-only top_k + value gather: consuming BOTH top_k outputs

@@ -96,6 +96,38 @@ def chunked_topk_scores(
     return jax.lax.fori_loop(1, nchunks, body, init)
 
 
+def blocked_topk_scores(scores: jax.Array, k: int,
+                        block: int = 8192) -> Tuple[jax.Array, jax.Array]:
+    """EXACT two-stage top-k over a wide materialized (nq, m) score array:
+    per-block top-k (one batched indices-only ``lax.top_k`` over (nq, B,
+    block)) → top-k of the B·k survivors. The union of per-block top-k
+    provably contains the global top-k, and tie order is bit-exact with a
+    flat ``lax.top_k``: per-block ties emit in ascending column order
+    (stable sort) and stage 2 resolves equal values to the lowest candidate
+    position = lowest global column. Motivation (measurements_r4/r3n.log):
+    the flat final top-1024 over 131k columns costs ~1.2 of the 2.31 ms
+    large-k fused search — a single sort's cost grows with m while the
+    blocked form sorts B short rows plus one B·k row. Ragged m pads with
+    −inf (never selected ahead of any real candidate; callers' sentinel
+    logic already maps −inf results out)."""
+    nq, m = scores.shape
+    if m <= 2 * block or k > block:
+        return topk_scores(scores, k)
+    nb = -(-m // block)
+    s = scores
+    if nb * block != m:
+        s = jnp.concatenate(
+            [s, jnp.full((nq, nb * block - m), -jnp.inf, s.dtype)], axis=-1)
+    _, pos = jax.lax.top_k(s.reshape(nq, nb, block), k)   # (nq, nb, k)
+    col = pos + (jnp.arange(nb, dtype=pos.dtype) * block)[None, :, None]
+    col = col.reshape(nq, nb * k)
+    cand = jnp.take_along_axis(s, col, axis=-1)
+    _, p2 = jax.lax.top_k(cand, k)                        # indices-only
+    idx = jnp.take_along_axis(col, p2, axis=-1)
+    vals = jnp.take_along_axis(cand, p2, axis=-1)
+    return vals, idx.astype(jnp.int32)
+
+
 def take_topk_rows(db: jax.Array, ids: jax.Array) -> jax.Array:
     """Gather rows by top-k ids (used by reconstruct-style helpers)."""
     return jnp.take(db, jnp.clip(ids, 0, db.shape[0] - 1), axis=0)

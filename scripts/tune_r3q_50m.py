@@ -34,7 +34,13 @@ def main():
     idx = faiss_tpu.TpuIndexFlat(D, metric="l2", storage="int8")
     if os.environ.get("FT_CPU"):
         idx.set_force_xla(True)  # smoke the script, not interpret-mode Pallas
-    cap = ((NV_TOTAL + ROW_TILE - 1) // ROW_TILE) * ROW_TILE
+    # capacity aligned to the direct sweep tile: nv_eff then aligns too, so
+    # the program is ONE Mosaic sweep kernel (tail-free). The first r4 run
+    # allocated ROW_TILE-aligned capacity → a 13k-row transposed-tail kernel
+    # entered the program and the remote compile never returned (the r3c
+    # main+tail+rescore compile hazard, pallas_fused.py:400-418).
+    from faiss_tpu.ops.pallas_fused import DIRECT_BV
+    cap = ((NV_TOTAL + DIRECT_BV - 1) // DIRECT_BV) * DIRECT_BV
     idx.store._ensure_capacity(cap, exact=True)  # one 6.4 GB allocation
 
     db_u8 = np.empty((NV_TOTAL, D), np.uint8)  # host copy for the oracle
