@@ -32,15 +32,17 @@ results; smaller nprobe trades recall exactly like faiss.
 Reference for API semantics: faiss/IndexIVF.h (train/add/search/nprobe,
 reconstruct via direct map; untrained add raises).
 
-Design note — padded-bucket HBM cost: the shared per-list capacity is what
-makes every gather regular (static shapes, no CSR pointer chase), but a
-heavily SKEWED list-size distribution pays for the largest list across all
-lists (``describe()`` reports ``bucket_load``; on balanced k-means lists it
-sits near 0.5–0.8 by the doubling rule). A CSR-packed layout with
-fixed-window masked gathers would reach load ≈ 1.0 at the price of a full
-repack per add batch — the right trade for a frozen serving index, kept as
-future work; incremental add() is the faiss-parity behavior implemented
-here.
+Design note — gather cost vs skew (r4): HBM still holds the regular padded
+(nlist, cap) tensor (static shapes, no CSR pointer chase, cheap add()),
+but the fine scan walks it in _CHUNK-row pieces with a per-shape budget of
+``sum of the nprobe largest per-list chunk counts`` — so a skewed list-size
+distribution pays for the lists a probe can actually hit, never
+nprobe × cap. The r3 whole-bucket gather LOST to the flat sweep on 1M
+mixture data (k-means left cap=16384 at mean size 977, load 0.06 —
+measurements_r4/ivf1m.log); the chunked walk restores the occupancy-
+proportional cost a CSR layout would give, at load ≈ 1 within each probed
+list's last chunk. HBM capacity (not traffic) still pays for the padding;
+``describe()`` reports ``bucket_load``.
 
 IVF recall is data-dependent by construction (faiss semantics, not a
 quality bug): on unclusterable data (pure i.i.d. Gaussian) true neighbors
@@ -70,13 +72,49 @@ __all__ = ["TpuIndexIVFFlat"]
 _QB = 8            # query rows per fine-scan block (static)
 _CAP0 = 64         # initial per-list capacity
 _GATHER_BUDGET = 512 << 20  # bytes of gathered candidates per block
+# fine-scan sub-bucket granularity (rows): the gather walks CHUNK-row
+# pieces of the probed lists instead of whole cap-row buckets, so a
+# skewed list-size distribution no longer makes every probe pay for the
+# largest list (r4 measured: k-means on 1M mixture data produced
+# cap=16384 at mean size 977 — the whole-bucket gather moved 16.8x the
+# live rows and IVF LOST to the flat sweep; measurements_r4/ivf1m.log).
+# 512 rows x 128 lanes x 2 B = 128 KB per gather DMA — comfortably above
+# the efficient-DMA floor.
+_CHUNK = 512
+
+
+def _round_budget(b: int) -> int:
+    """Round a chunk budget up to ~2 significant bits (≤25% slack) so the
+    compiled-fn cache sees a handful of budget shapes per octave instead
+    of one per add batch."""
+    b = max(b, 1)
+    step = 1 << max(0, b.bit_length() - 3)
+    return -(-b // step) * step
+
+
+def _chunk_budget(counts: np.ndarray, nprobe: int, chunk: int) -> int:
+    """Static per-query chunk budget: the sum of the ``nprobe`` largest
+    per-list chunk counts — an exact upper bound over ANY probe set, so
+    results are always complete within the probed lists. Quantized by
+    _round_budget for cache stability."""
+    ccnt = -(-counts.astype(np.int64) // chunk)
+    top = np.sort(ccnt)[-nprobe:] if nprobe < ccnt.size else ccnt
+    return _round_budget(int(top.sum()))
 
 
 def _probed_scores(*, cap: int, nprobe: int, metric: MetricType,
-                   kind: str, with_sel: bool):
-    """Shared fine-scan block: gather the probed buckets for a QB-query
-    slice and score them — search and range_search use the SAME criterion
-    (like the flat index's `_masked_scores_block` discipline).
+                   kind: str, with_sel: bool, nbudget: int):
+    """Shared fine-scan block: gather the probed lists' OCCUPIED chunks for
+    a QB-query slice and score them — search and range_search use the SAME
+    criterion (like the flat index's `_masked_scores_block` discipline).
+
+    Chunked two-level gather (r4): each query walks ``nbudget`` CHUNK-row
+    pieces laid out per probed list by its actual occupancy — empty lists
+    contribute nothing and a skewed distribution pays the sum of its
+    nprobe largest lists, not nprobe × the global cap (the whole-bucket
+    gather lost to the flat sweep on skewed 1M data — ivf1m.log). Chunk
+    positions map to (list, within) via one rank-vs-offsets comparison;
+    over-budget positions clamp to slot 0 and mask −inf.
 
     ``kind``: "f32" (HIGHEST fp32 dot), "bf16" (exact 3-way query split —
     fp32-true to the quantized rows) or "int8" (rows decode to bf16
@@ -86,22 +124,39 @@ def _probed_scores(*, cap: int, nprobe: int, metric: MetricType,
     Returns block(data, norms, counts, ids, sel, q, qeff, qn, probe, b) ->
     (scores (QB, ncand) with invalid/filtered -inf, cid (QB, ncand));
     ``qeff`` is the dot-side query (q for float kinds, q∘scales for int8)."""
-    ncand = nprobe * cap
+    chunk = min(_CHUNK, cap)
+    ncand = nbudget * chunk
 
     def block(data, norms, counts, ids, sel, q, qeff, qn, probe, b):
         qs = jax.lax.dynamic_slice_in_dim(qeff, b * _QB, _QB, axis=0)
         qns = jax.lax.dynamic_slice_in_dim(qn, b * _QB, _QB, axis=0)
         pr = jax.lax.dynamic_slice_in_dim(probe, b * _QB, _QB, axis=0)
-        # slot indices of every candidate: (QB, nprobe, cap)
-        base = pr[..., None] * cap + jax.lax.iota(
-            jnp.int32, cap)[None, None, :]
-        flat = base.reshape(_QB, ncand)
+        cnt = jnp.take(counts, pr, axis=0)            # (QB, nprobe)
+        ccnt = -(-cnt // chunk)                       # chunks per probed list
+        offs = jnp.cumsum(ccnt, axis=-1) - ccnt       # exclusive prefix
+        pos = jax.lax.iota(jnp.int32, nbudget)        # (nbudget,)
+        # which probed list owns budget position p: the last list whose
+        # offset is ≤ p (nprobe ≤ 64 → the compare tensor is tiny)
+        li = jnp.sum((offs[:, :, None] <= pos[None, None, :]).astype(
+            jnp.int32), axis=1) - 1                   # (QB, nbudget)
+        li = jnp.clip(li, 0, nprobe - 1)
+        within = pos[None, :] - jnp.take_along_axis(offs, li, axis=-1)
+        okc = within < jnp.take_along_axis(ccnt, li, axis=-1)
+        lst = jnp.take_along_axis(pr, li, axis=-1)    # (QB, nbudget)
+        lcnt = jnp.take_along_axis(cnt, li, axis=-1)
+        base = jnp.where(okc, lst * cap + within * chunk, 0)
+        flat = (base[:, :, None]
+                + jax.lax.iota(jnp.int32, chunk)[None, None, :]
+                ).reshape(_QB, ncand)
+        # rows past a list's cap slice are clamped by jnp.take and masked
+        flat = jnp.minimum(flat, data.shape[0] - 1)
         cand = jnp.take(data, flat, axis=0)      # (QB, ncand, d_pad)
         cnn = jnp.take(norms, flat, axis=0)      # (QB, ncand)
         cid = jnp.take(ids, flat, axis=0)        # (QB, ncand)
-        cnt = jnp.take(counts, pr, axis=0)       # (QB, nprobe)
-        valid = (jax.lax.iota(jnp.int32, cap)[None, None, :]
-                 < cnt[..., None]).reshape(_QB, ncand)
+        row = (within[:, :, None] * chunk
+               + jax.lax.iota(jnp.int32, chunk)[None, None, :])
+        valid = (okc[:, :, None]
+                 & (row < lcnt[:, :, None])).reshape(_QB, ncand)
         if with_sel:
             # selector stream indexed by SLOT (selector.SearchParams):
             # filtered rows mask out exactly like padding
@@ -139,7 +194,7 @@ def _probed_scores(*, cap: int, nprobe: int, metric: MetricType,
 
 def _build_ivf_search_fn(*, nlist: int, cap: int, nprobe: int, nq_pad: int,
                          k: int, d_pad: int, metric: MetricType,
-                         kind: str, with_sel: bool = False):
+                         kind: str, nbudget: int, with_sel: bool = False):
     """fn(data (nlist*cap, d_pad), norms (nlist*cap,), counts (nlist,) i32,
     ids (nlist*cap,) i32, cents (nlist_pad, d_pad), cnorms (nlist_pad,),
     q (nq_pad, d_pad) [, sel (nlist*cap,) bool] [, scales (d_pad,) — int8])
@@ -148,11 +203,12 @@ def _build_ivf_search_fn(*, nlist: int, cap: int, nprobe: int, nq_pad: int,
     One jitted program: coarse GEMM -> top-nprobe -> lax.map over QB-query
     blocks, each ONE bucket gather + ONE batched MXU dot_general.
     """
-    ncand = nprobe * cap
+    ncand = nbudget * min(_CHUNK, cap)
     k_eff = min(k, ncand)
     nblocks = nq_pad // _QB
     scores_blk = _probed_scores(cap=cap, nprobe=nprobe, metric=metric,
-                                kind=kind, with_sel=with_sel)
+                                kind=kind, with_sel=with_sel,
+                                nbudget=nbudget)
 
     def fn(data, norms, counts, ids, cents, cnorms, q, sel=None,
            scales=None):
@@ -189,7 +245,7 @@ def _build_ivf_search_fn(*, nlist: int, cap: int, nprobe: int, nq_pad: int,
 
 
 def _build_ivf_range_fn(*, cap: int, nprobe: int, nq_pad: int, rcap: int,
-                        metric: MetricType, kind: str,
+                        metric: MetricType, kind: str, nbudget: int,
                         with_sel: bool = False):
     """Range scan over the probed lists (faiss IndexIVF::range_search
     semantics: hits are complete WITHIN the nprobe probed lists).
@@ -198,11 +254,12 @@ def _build_ivf_range_fn(*, cap: int, nprobe: int, nq_pad: int, rcap: int,
     (counts_out (1, nq_pad) i32, vals (1, nq_pad, rcap), gids (1, ...)) —
     shaped as ONE chunk for the shared host CSR assembly (_range_csr);
     counts are exact past rcap, so its capacity-doubling re-run applies."""
-    ncand = nprobe * cap
+    ncand = nbudget * min(_CHUNK, cap)
     nblocks = nq_pad // _QB
     rcap = min(rcap, ncand)
     scores_blk = _probed_scores(cap=cap, nprobe=nprobe, metric=metric,
-                                kind=kind, with_sel=with_sel)
+                                kind=kind, with_sel=with_sel,
+                                nbudget=nbudget)
 
     def fn(data, norms, counts, ids, cents, cnorms, q, thr, sel=None,
            scales=None):
@@ -491,35 +548,40 @@ class TpuIndexIVFFlat:
         # per-query probe-width override (faiss::SearchParametersIVF.nprobe)
         req = getattr(params, "nprobe", None) if params is not None else None
         nprobe = min(req if req is not None else self.nprobe, self.nlist)
-        bytes_per_q = nprobe * self.cap * self.d_pad * (
+        # static chunk budget for the two-level gather (exact worst case
+        # over any probe set, from the host counts mirror)
+        nbudget = (_chunk_budget(self._counts, nprobe,
+                                 min(_CHUNK, self.cap)) if self.cap else 1)
+        bytes_per_q = nbudget * min(_CHUNK, self.cap) * self.d_pad * (
             {jnp.dtype(jnp.float32): 4, jnp.dtype(jnp.bfloat16): 2,
              jnp.dtype(jnp.int8): 1}[jnp.dtype(self._dtype)])
         if _QB * bytes_per_q > _GATHER_BUDGET:
             raise ValueError(
                 f"IVF fine scan would gather {_QB * bytes_per_q >> 20} MB "
-                f"per block (nprobe={nprobe}, cap={self.cap}); lower nprobe")
+                f"per block (nprobe={nprobe}, chunk budget={nbudget}); "
+                f"lower nprobe")
         nq_pad = max(_QB, _round_up(nq, _QB))
         qp = np.zeros((nq_pad, self.d_pad), np.float32)
         qp[:nq, : self.d] = x
-        return qp, nq, nq_pad, nprobe, sel
+        return qp, nq, nq_pad, nprobe, nbudget, sel
 
     def _search_device(self, x: np.ndarray, k: int, params=None):
         """Enqueue one IVF search; returns (unrealized (dists, labels), nq)
         or (None, nq) for the empty index."""
         if k <= 0:
             raise ValueError(f"k must be positive, got {k}")
-        qp, nq, nq_pad, nprobe, sel = self._prep_search(x, params)
+        qp, nq, nq_pad, nprobe, nbudget, sel = self._prep_search(x, params)
         if self.ntotal == 0:
             return None, nq
         with_sel = sel is not None
-        key = ("ivf_search", self.nlist, self.cap, nprobe, nq_pad, int(k),
-               self.d_pad, self.metric, self.storage_type, with_sel)
+        key = ("ivf_search", self.nlist, self.cap, nprobe, nbudget, nq_pad,
+               int(k), self.d_pad, self.metric, self.storage_type, with_sel)
         fn = self.res.cached(
             key,
             lambda: _build_ivf_search_fn(
                 nlist=self.nlist, cap=self.cap, nprobe=nprobe,
                 nq_pad=nq_pad, k=int(k), d_pad=self.d_pad,
-                metric=self.metric, kind=self._kind,
+                metric=self.metric, kind=self._kind, nbudget=nbudget,
                 with_sel=with_sel))
         out = fn(self._data, self._norms, self._counts_dev, self._ids,
                  self._cents, self._cnorms, jnp.asarray(qp), sel,
@@ -560,7 +622,7 @@ class TpuIndexIVFFlat:
         is bounded by the probe like search recall; nprobe == nlist makes
         it exhaustive). Same strict hit criterion and arithmetic class as
         search()."""
-        qp, nq, nq_pad, nprobe, sel = self._prep_search(x, params)
+        qp, nq, nq_pad, nprobe, nbudget, sel = self._prep_search(x, params)
         if self.ntotal == 0:
             return (np.zeros(nq + 1, np.int64), np.empty(0, np.float32),
                     np.empty(0, np.int64))
@@ -568,18 +630,19 @@ class TpuIndexIVFFlat:
         with_sel = sel is not None
 
         def run(rcap):
-            key = ("ivf_range", self.nlist, self.cap, nprobe, nq_pad, rcap,
-                   self.d_pad, self.metric, self.storage_type, with_sel)
+            key = ("ivf_range", self.nlist, self.cap, nprobe, nbudget,
+                   nq_pad, rcap, self.d_pad, self.metric, self.storage_type,
+                   with_sel)
             fn = self.res.cached(
                 key,
                 lambda: _build_ivf_range_fn(
                     cap=self.cap, nprobe=nprobe, nq_pad=nq_pad, rcap=rcap,
-                    metric=self.metric, kind=self._kind,
+                    metric=self.metric, kind=self._kind, nbudget=nbudget,
                     with_sel=with_sel))
             out = fn(self._data, self._norms, self._counts_dev, self._ids,
                      self._cents, self._cnorms, jnp.asarray(qp), thr, sel,
                      self._scales)
-            rc = min(rcap, nprobe * self.cap)
+            rc = min(rcap, nbudget * min(_CHUNK, self.cap))
             return jax.device_get(out) + (rc,)
 
         return _range_csr(run, nq, self.metric)

@@ -41,7 +41,8 @@ from ..ops import distance as dist_ops
 from ..resources import TpuResources, default_resources
 from .. import selector as sel_mod
 from ..storage import LANE, _round_up
-from ..ivf import TpuIndexIVFFlat, _probed_scores, _QB, _GATHER_BUDGET
+from ..ivf import (TpuIndexIVFFlat, _probed_scores, _QB, _GATHER_BUDGET,
+                   _CHUNK, _chunk_budget)
 from ..index import TpuSearchToken
 
 AXIS = TpuResources.SHARD_AXIS
@@ -49,7 +50,7 @@ AXIS = TpuResources.SHARD_AXIS
 
 def _build_sharded_ivf_search_fn(*, mesh, nlist: int, cap: int, nprobe: int,
                                  nq_pad: int, k: int, d_pad: int,
-                                 metric: MetricType, kind: str,
+                                 metric: MetricType, kind: str, nbudget: int,
                                  with_sel: bool = False):
     """One shard_map program: replicated probe, local fine scan, ICI merge.
 
@@ -57,11 +58,12 @@ def _build_sharded_ivf_search_fn(*, mesh, nlist: int, cap: int, nprobe: int,
     counts (P·nlist,) i32, cents (nlist_pad, d_pad) replicated, cnorms,
     q (nq_pad, d_pad) replicated [, sel (P·nlist·cap,)] [, scales (d_pad,)])
     -> (dists (nq_pad, k) f32, glabels (nq_pad, k) i32) replicated."""
-    ncand = nprobe * cap
+    ncand = nbudget * min(_CHUNK, cap)
     k_loc = min(k, ncand)
     nblocks = nq_pad // _QB
     scores_blk = _probed_scores(cap=cap, nprobe=nprobe, metric=metric,
-                                kind=kind, with_sel=with_sel)
+                                kind=kind, with_sel=with_sel,
+                                nbudget=nbudget)
 
     def per_device(data, norms, ids, counts, cents, cnorms, q, *extra):
         sel = extra[0] if with_sel else None
@@ -327,21 +329,26 @@ class ShardedIndexIVFFlat:
             self._assemble()
         itemsize = {StorageType.FLOAT32: 4, StorageType.BFLOAT16: 2,
                     StorageType.INT8: 1}[self.storage_type]
-        if _QB * nprobe * cap * self.d_pad * itemsize > _GATHER_BUDGET:
+        # one static budget for the shard_map program: the worst shard's
+        # exact chunk budget (per-shard counts differ)
+        nbudget = max(_chunk_budget(s._counts, nprobe, min(_CHUNK, cap))
+                      for s in self.shards)
+        if (_QB * nbudget * min(_CHUNK, cap) * self.d_pad * itemsize
+                > _GATHER_BUDGET):
             raise ValueError(
                 f"IVF fine scan would gather too much per block "
-                f"(nprobe={nprobe}, cap/list={cap}); lower nprobe")
+                f"(nprobe={nprobe}, chunk budget={nbudget}); lower nprobe")
         sel = self._sel_stream(mask, cap)
         with_sel = sel is not None
         key = ("sharded_ivf", self.num_shards, self.nlist, cap, nprobe,
-               nq_pad, int(k), self.d_pad, self.metric, self.storage_type,
-               with_sel)
+               nbudget, nq_pad, int(k), self.d_pad, self.metric,
+               self.storage_type, with_sel)
         fn = self.res.cached(
             key,
             lambda: _build_sharded_ivf_search_fn(
                 mesh=self.mesh, nlist=self.nlist, cap=cap, nprobe=nprobe,
                 nq_pad=nq_pad, k=int(k), d_pad=self.d_pad,
-                metric=self.metric,
+                metric=self.metric, nbudget=nbudget,
                 kind=self.shards[0]._kind, with_sel=with_sel))
         q = jax.device_put(qp, NamedSharding(self.mesh, P(None, None)))
         args = (data, norms, ids, counts, cents, cnorms, q)

@@ -33,7 +33,7 @@ DATASETS = os.environ.get("FT_DATA", "mix,gauss").split(",")
 D, K = 128, 10
 NQ = int(os.environ.get("FT_NQ", 104))
 DEPTH = int(os.environ.get("FT_DEPTH", 64))
-BATCHES = int(os.environ.get("FT_BATCHES", 50))
+BATCHES = int(os.environ.get("FT_BATCHES", 100))
 TRAIN_N = 262_144
 ADD_BATCH = 1_000_000
 
@@ -77,18 +77,27 @@ def exact_oracle(xb, xq, k):
 
 
 def pipelined_qps(search_async, xq, nq, warm=5):
+    """Thread-pool blocking searches (the profiling.measure_search serving
+    pattern): every per-call host RPC overlaps across worker threads. A
+    single-threaded async-enqueue loop caps at ~40 dispatches/s through the
+    tunnel (~25 ms dispatch RPC on the calling thread) — the first ivf1m
+    run measured exactly that ceiling and understated QPS ~10×."""
+    import concurrent.futures as cf
+
+    def one():
+        return search_async(xq, K).wait()
+
     for _ in range(warm):
-        search_async(xq, K).wait()
-    toks = []
-    t0 = time.perf_counter()
-    for i in range(BATCHES):
-        toks.append(search_async(xq, K))
-        if len(toks) > DEPTH:
-            toks.pop(0).wait()
-    for t in toks:
-        t.wait()
-    dt = time.perf_counter() - t0
-    return BATCHES * nq / dt
+        one()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        with cf.ThreadPoolExecutor(max_workers=DEPTH) as pool:
+            futs = [pool.submit(one) for _ in range(BATCHES)]
+            for f in futs:
+                f.result()
+        best = min(best, time.perf_counter() - t0)
+    return BATCHES * nq / best
 
 
 def recall_at_k(I, oracle, k=K):
@@ -123,7 +132,7 @@ def main():
                 flat.add(xb[i0:i0 + ADD_BATCH])
             print(f"[{data_kind}/{storage}] flat add ({time.time()-t0:.0f}s)",
                   flush=True)
-            If, _ = flat.search_async(xq, K).wait()[1], None
+            If = flat.search_async(xq, K).wait()[1]
             rf = recall_at_k(If, oracle)
             qps_flat = pipelined_qps(flat.search_async, xq, NQ)
             qps_flat8 = pipelined_qps(flat.search_async, xq8, 8)
@@ -160,6 +169,9 @@ def main():
                         print(f"  nprobe={nprobe}: {e}", flush=True)
                         break
                     r = recall_at_k(Ii, oracle)
+                    r_flat = recall_at_k(Ii, If)  # routing recall: vs the
+                    # flat index's own results (isolates probe recall from
+                    # storage quantization, which caps the oracle recall)
                     qps = pipelined_qps(
                         lambda q, k: ivf.search_async(q, k, params=params),
                         xq, NQ)
@@ -170,6 +182,7 @@ def main():
                         "config": f"{data_kind}/{storage}/ivf{nlist}",
                         "nv": NV, "nprobe": nprobe,
                         "recall@10": round(r, 4),
+                        "recall_vs_flat": round(r_flat, 4),
                         "qps_nq104": round(qps, 1),
                         "qps_nq8": round(qps8, 1),
                         "vs_flat_nq104": round(qps / qps_flat, 2),

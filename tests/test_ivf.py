@@ -430,3 +430,47 @@ def test_ivf_search_async_matches_sync():
     assert tok.is_ready()
     De, Ie = tok.wait()
     assert (Ie == -1).all() and (De == np.inf).all()
+
+
+def test_chunked_gather_on_skewed_lists():
+    """r4 two-level gather: one huge list + many tiny ones — results stay
+    exact (vs the same-routing oracle) and the static chunk budget follows
+    the actual occupancy, not nlist x cap."""
+    from faiss_tpu.ivf import _chunk_budget, _CHUNK
+
+    rng = np.random.default_rng(43)
+    # build clusterable data where one cluster holds ~70% of rows
+    n = 6000
+    comp = np.where(rng.random(n) < 0.7, 0, rng.integers(1, 16, n))
+    cents = 30.0 * rng.standard_normal((16, 12)).astype(np.float32)
+    xb = (cents[comp] + rng.standard_normal((n, 12))).astype(np.float32)
+    xq = (cents[rng.integers(0, 16, 5)]
+          + rng.standard_normal((5, 12))).astype(np.float32)
+    ix = TpuIndexIVFFlat(12, 16, nprobe=3, seed=9)
+    # install the TRUE component centers as centroids: component 0 holds
+    # ~70% of rows, so list 0 is guaranteed huge (k-means would have split
+    # it — the point here is the gather's behavior under skew)
+    ix._set_centroids(cents)
+    ix.add(xb)
+    sizes = ix.list_sizes()
+    assert sizes.max() > 4 * np.median(sizes[sizes > 0])  # genuinely skewed
+    D, I = ix.search(xq, 6)
+    refD, refI = ivf_oracle(ix, xb, xq, 6, 3)
+    for qi in range(5):
+        got = set(I[qi][I[qi] >= 0].tolist())
+        want = set(refI[qi][refI[qi] >= 0].tolist())
+        assert got == want, qi
+    # budget arithmetic: worst probe set, quantized <= 25% slack
+    chunk = min(_CHUNK, ix.cap)
+    ccnt = -(-sizes // chunk)
+    exact = int(np.sort(ccnt)[-3:].sum())
+    b = _chunk_budget(sizes, 3, chunk)
+    assert exact <= b <= max(4, int(exact * 1.25) + 1), (exact, b)
+    # exhaustive probe on the skewed index == flat
+    ix.nprobe = 16
+    Df, If = ix.search(xq, 6)
+    flat = faiss_tpu.TpuIndexFlat(12)
+    flat.add(xb)
+    D2, I2 = flat.search(xq, 6)
+    for qi in range(5):
+        assert set(If[qi].tolist()) == set(I2[qi].tolist()), qi
