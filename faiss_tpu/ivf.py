@@ -144,15 +144,21 @@ def _probed_scores(*, cap: int, nprobe: int, metric: MetricType,
         okc = within < jnp.take_along_axis(ccnt, li, axis=-1)
         lst = jnp.take_along_axis(pr, li, axis=-1)    # (QB, nbudget)
         lcnt = jnp.take_along_axis(cnt, li, axis=-1)
-        base = jnp.where(okc, lst * cap + within * chunk, 0)
-        flat = (base[:, :, None]
-                + jax.lax.iota(jnp.int32, chunk)[None, None, :]
-                ).reshape(_QB, ncand)
-        # rows past a list's cap slice are clamped by jnp.take and masked
-        flat = jnp.minimum(flat, data.shape[0] - 1)
-        cand = jnp.take(data, flat, axis=0)      # (QB, ncand, d_pad)
-        cnn = jnp.take(norms, flat, axis=0)      # (QB, ncand)
-        cid = jnp.take(ids, flat, axis=0)        # (QB, ncand)
+        # CHUNK-granular gather: reshape the slot-major tensors so one take
+        # row moves one whole chunk contiguously (the fused path's
+        # one-row-per-group trick — a row-granular take of the same bytes
+        # measured ~6× slower there, and the first chunked-scan run was
+        # gather-op-bound, not bandwidth-bound: 2.1k QPS where the moved
+        # bytes cost <1 ms/batch)
+        cpl = cap // chunk                            # chunks per list
+        cidx = jnp.where(okc, lst * cpl + within, 0)  # (QB, nbudget)
+        d_pad = data.shape[1]
+        cand = jnp.take(data.reshape(-1, chunk * d_pad), cidx, axis=0
+                        ).reshape(_QB, ncand, d_pad)
+        cnn = jnp.take(norms.reshape(-1, chunk), cidx, axis=0
+                       ).reshape(_QB, ncand)
+        cid = jnp.take(ids.reshape(-1, chunk), cidx, axis=0
+                       ).reshape(_QB, ncand)
         row = (within[:, :, None] * chunk
                + jax.lax.iota(jnp.int32, chunk)[None, None, :])
         valid = (okc[:, :, None]
@@ -160,7 +166,8 @@ def _probed_scores(*, cap: int, nprobe: int, metric: MetricType,
         if with_sel:
             # selector stream indexed by SLOT (selector.SearchParams):
             # filtered rows mask out exactly like padding
-            valid = valid & jnp.take(sel, flat, axis=0)
+            valid = valid & jnp.take(sel.reshape(-1, chunk), cidx, axis=0
+                                     ).reshape(_QB, ncand)
         # fine distances, fp32-true to the stored bits (plain-path
         # arithmetic class): batched q·v on the MXU, norm epilogue
         dn = (((2,), (1,)), ((0,), (0,)))
@@ -538,8 +545,12 @@ class TpuIndexIVFFlat:
         if x.ndim != 2 or x.shape[1] != self.d:
             raise ValueError(f"expected (n, {self.d}) queries, got {x.shape}")
         nq = x.shape[0]
-        mask = sel_mod.selector_mask(
-            params, np.arange(self.ntotal, dtype=np.int64))
+        if params is None or getattr(params, "sel", None) is None:
+            sel_mod.selector_mask(params, np.empty(0, np.int64))  # validate
+            mask = None
+        else:  # only materialize the ntotal-long id vector for real selectors
+            mask = sel_mod.selector_mask(
+                params, np.arange(self.ntotal, dtype=np.int64))
         sel = None
         if mask is not None and not mask.all():
             s = np.zeros((self.nlist * self.cap,), bool)

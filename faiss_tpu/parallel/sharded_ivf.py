@@ -299,8 +299,12 @@ class ShardedIndexIVFFlat:
         nq = x.shape[0]
         req = getattr(params, "nprobe", None) if params is not None else None
         nprobe = min(req if req is not None else self.nprobe, self.nlist)
-        mask = sel_mod.selector_mask(
-            params, np.arange(self.ntotal, dtype=np.int64))
+        if params is None or getattr(params, "sel", None) is None:
+            sel_mod.selector_mask(params, np.empty(0, np.int64))  # validate
+            mask = None
+        else:
+            mask = sel_mod.selector_mask(
+                params, np.arange(self.ntotal, dtype=np.int64))
         nq_pad = max(_QB, _round_up(nq, _QB))
         qp = np.zeros((nq_pad, self.d_pad), np.float32)
         qp[:nq, : self.d] = x

@@ -474,3 +474,18 @@ def test_chunked_gather_on_skewed_lists():
     D2, I2 = flat.search(xq, 6)
     for qi in range(5):
         assert set(If[qi].tolist()) == set(I2[qi].tolist()), qi
+
+
+def test_idmap_ivf_async():
+    """TpuIndexIDMap over an IVF index forwards search_async (IVF tokens
+    are r4; the wrapper's custom-id translation rides token.wait)."""
+    xb, xq = int_data(1500, 4, 16, seed=47)
+    ivf = TpuIndexIVFFlat(16, 8, nprobe=8, seed=3)
+    ivf.train(xb)
+    im = faiss_tpu.TpuIndexIDMap(ivf)
+    custom = np.arange(1500, dtype=np.int64) * 3 + 500
+    im.add_with_ids(xb, custom)
+    D0, I0 = im.search(xq, 5)
+    D1, I1 = im.search_async(xq, 5).wait()
+    np.testing.assert_array_equal(I0, I1)
+    assert ((I0 - 500) % 3 == 0).all()
