@@ -78,9 +78,34 @@ _GATHER_BUDGET = 512 << 20  # bytes of gathered candidates per block
 # largest list (r4 measured: k-means on 1M mixture data produced
 # cap=16384 at mean size 977 — the whole-bucket gather moved 16.8x the
 # live rows and IVF LOST to the flat sweep; measurements_r4/ivf1m.log).
-# 512 rows x 128 lanes x 2 B = 128 KB per gather DMA — comfortably above
-# the efficient-DMA floor.
-_CHUNK = 512
+# 128 rows = the Pallas rescore kernel's GROUP granularity: the fast fine
+# scan (bf16/int8) feeds chunk ids straight into the scalar-prefetch
+# gather kernel, whose block DMAs run at HBM bandwidth — XLA's own gather
+# measured 2–13 GB/s regardless of slice width (catastrophic; 187 ms for
+# a 437 MB candidate sweep at chunk=512 — measurements_r4/r4c.log).
+_CHUNK = 128
+
+
+def _chunk_ids(probe, counts, cap: int, chunk: int, nbudget: int,
+               nprobe: int):
+    """Lay the probed lists' OCCUPIED chunks out contiguously per query:
+    (cidx (nq, nbudget) int32 chunk ids into the (nslots/chunk, …) chunk-
+    major view, okc (nq, nbudget) bool — False for over-budget positions,
+    which point at chunk 0 and must be post-masked)."""
+    cnt = jnp.take(counts, probe, axis=0)            # (nq, nprobe)
+    ccnt = -(-cnt // chunk)                          # chunks per probed list
+    offs = jnp.cumsum(ccnt, axis=-1) - ccnt          # exclusive prefix
+    pos = jax.lax.iota(jnp.int32, nbudget)
+    # owner of budget position p = last probed list whose offset ≤ p
+    # (nprobe ≤ 64 → the compare tensor is tiny)
+    li = jnp.sum((offs[:, :, None] <= pos[None, None, :]).astype(jnp.int32),
+                 axis=1) - 1
+    li = jnp.clip(li, 0, nprobe - 1)
+    within = pos[None, :] - jnp.take_along_axis(offs, li, axis=-1)
+    okc = within < jnp.take_along_axis(ccnt, li, axis=-1)
+    lst = jnp.take_along_axis(probe, li, axis=-1)
+    cidx = jnp.where(okc, lst * (cap // chunk) + within, 0)
+    return cidx, okc
 
 
 def _round_budget(b: int) -> int:
@@ -131,27 +156,12 @@ def _probed_scores(*, cap: int, nprobe: int, metric: MetricType,
         qs = jax.lax.dynamic_slice_in_dim(qeff, b * _QB, _QB, axis=0)
         qns = jax.lax.dynamic_slice_in_dim(qn, b * _QB, _QB, axis=0)
         pr = jax.lax.dynamic_slice_in_dim(probe, b * _QB, _QB, axis=0)
-        cnt = jnp.take(counts, pr, axis=0)            # (QB, nprobe)
-        ccnt = -(-cnt // chunk)                       # chunks per probed list
-        offs = jnp.cumsum(ccnt, axis=-1) - ccnt       # exclusive prefix
-        pos = jax.lax.iota(jnp.int32, nbudget)        # (nbudget,)
-        # which probed list owns budget position p: the last list whose
-        # offset is ≤ p (nprobe ≤ 64 → the compare tensor is tiny)
-        li = jnp.sum((offs[:, :, None] <= pos[None, None, :]).astype(
-            jnp.int32), axis=1) - 1                   # (QB, nbudget)
-        li = jnp.clip(li, 0, nprobe - 1)
-        within = pos[None, :] - jnp.take_along_axis(offs, li, axis=-1)
-        okc = within < jnp.take_along_axis(ccnt, li, axis=-1)
-        lst = jnp.take_along_axis(pr, li, axis=-1)    # (QB, nbudget)
-        lcnt = jnp.take_along_axis(cnt, li, axis=-1)
+        cidx, okc = _chunk_ids(pr, counts, cap, chunk, nbudget, nprobe)
         # CHUNK-granular gather: reshape the slot-major tensors so one take
-        # row moves one whole chunk contiguously (the fused path's
-        # one-row-per-group trick — a row-granular take of the same bytes
-        # measured ~6× slower there, and the first chunked-scan run was
-        # gather-op-bound, not bandwidth-bound: 2.1k QPS where the moved
-        # bytes cost <1 ms/batch)
-        cpl = cap // chunk                            # chunks per list
-        cidx = jnp.where(okc, lst * cpl + within, 0)  # (QB, nbudget)
+        # row moves one whole chunk contiguously. NOTE (r4c.log): XLA's
+        # gather is catastrophically slow on TPU regardless of slice width
+        # (2–13 GB/s); this XLA block survives only for the kinds the
+        # Pallas fine scan can't take (f32 rows) and for range_search.
         d_pad = data.shape[1]
         cand = jnp.take(data.reshape(-1, chunk * d_pad), cidx, axis=0
                         ).reshape(_QB, ncand, d_pad)
@@ -159,10 +169,10 @@ def _probed_scores(*, cap: int, nprobe: int, metric: MetricType,
                        ).reshape(_QB, ncand)
         cid = jnp.take(ids.reshape(-1, chunk), cidx, axis=0
                        ).reshape(_QB, ncand)
-        row = (within[:, :, None] * chunk
-               + jax.lax.iota(jnp.int32, chunk)[None, None, :])
-        valid = (okc[:, :, None]
-                 & (row < lcnt[:, :, None])).reshape(_QB, ncand)
+        # slot validity == occupancy: ids are −1 in empty/padding slots
+        valid = okc[:, :, None] & (
+            cid.reshape(_QB, nbudget, chunk) >= 0)
+        valid = valid.reshape(_QB, ncand)
         if with_sel:
             # selector stream indexed by SLOT (selector.SearchParams):
             # filtered rows mask out exactly like padding
@@ -201,21 +211,36 @@ def _probed_scores(*, cap: int, nprobe: int, metric: MetricType,
 
 def _build_ivf_search_fn(*, nlist: int, cap: int, nprobe: int, nq_pad: int,
                          k: int, d_pad: int, metric: MetricType,
-                         kind: str, nbudget: int, with_sel: bool = False):
+                         kind: str, nbudget: int, with_sel: bool = False,
+                         interpret: bool = False):
     """fn(data (nlist*cap, d_pad), norms (nlist*cap,), counts (nlist,) i32,
     ids (nlist*cap,) i32, cents (nlist_pad, d_pad), cnorms (nlist_pad,),
     q (nq_pad, d_pad) [, sel (nlist*cap,) bool] [, scales (d_pad,) — int8])
     -> (dists (nq_pad, k) f32, labels (nq_pad, k) i32).
 
-    One jitted program: coarse GEMM -> top-nprobe -> lax.map over QB-query
-    blocks, each ONE bucket gather + ONE batched MXU dot_general.
+    One jitted program: coarse GEMM -> top-nprobe -> fine scan -> top-k.
+
+    Fine scan (bf16/int8 rows, chunk == 128): the probed chunk ids feed the
+    fused path's scalar-prefetch gather/rescore kernel
+    (pallas_fused.rescore_groups_pallas) — its block DMAs run at HBM
+    bandwidth where XLA's own gather measured 2–13 GB/s on TPU regardless
+    of slice width (187 ms for a 437 MB candidate sweep —
+    measurements_r4/r4c.log). Slot validity (occupancy + selector) rides
+    the kernel's pre-masked norm stream as ``ids >= 0 [& sel]``; scores are
+    the same fp32-true class as the flat index's rescore. f32 rows keep the
+    XLA chunk-take block (the kernel's bf16 cast would break the exact-fp32
+    contract), as does range_search.
     """
-    ncand = nbudget * min(_CHUNK, cap)
+    chunk = min(_CHUNK, cap)
+    ncand = nbudget * chunk
     k_eff = min(k, ncand)
     nblocks = nq_pad // _QB
-    scores_blk = _probed_scores(cap=cap, nprobe=nprobe, metric=metric,
-                                kind=kind, with_sel=with_sel,
-                                nbudget=nbudget)
+    use_kernel = (kind in ("bf16", "int8") and chunk == _CHUNK
+                  and cap % chunk == 0 and nq_pad % 8 == 0)
+    if not use_kernel:
+        scores_blk = _probed_scores(cap=cap, nprobe=nprobe, metric=metric,
+                                    kind=kind, with_sel=with_sel,
+                                    nbudget=nbudget)
 
     def fn(data, norms, counts, ids, cents, cnorms, q, sel=None,
            scales=None):
@@ -226,16 +251,41 @@ def _build_ivf_search_fn(*, nlist: int, cap: int, nprobe: int, nq_pad: int,
         qn = jnp.sum(q * q, axis=-1, dtype=jnp.float32)
         qeff = q * scales[None, :] if kind == "int8" else q
 
-        def block(b):
-            s, cid = scores_blk(data, norms, counts, ids, sel, q, qeff, qn,
-                                probe, b)
-            v, i = jax.lax.top_k(s, k_eff)
-            lab = jnp.take_along_axis(cid, i, axis=-1)
-            return v, lab
+        if use_kernel:
+            from .ops.pallas_fused import (RESCORE_RANKS,
+                                           rescore_groups_pallas)
 
-        v, lab = jax.lax.map(block, jnp.arange(nblocks, dtype=jnp.int32))
-        v = v.reshape(nq_pad, k_eff)
-        lab = lab.reshape(nq_pad, k_eff)
+            cidx, okc = _chunk_ids(probe, counts, cap, chunk, nbudget,
+                                   nprobe)
+            occ = ids >= 0            # slot validity (counts + removals)
+            sel_eff = occ if sel is None else occ & sel
+            s = rescore_groups_pallas(
+                qeff, data, norms, cidx, jnp.int32(data.shape[0]),
+                metric=metric, nv_eff=data.shape[0], interpret=interpret,
+                ranks_per_step=RESCORE_RANKS, sel=sel_eff)
+            # dead budget positions point at chunk 0 — post-mask them
+            s = jnp.where(jnp.broadcast_to(okc[:, :, None],
+                                           (nq_pad, nbudget, chunk)
+                                           ).reshape(nq_pad, ncand),
+                          s, -jnp.inf)
+            _, pos = jax.lax.top_k(s, k_eff)        # indices-only (fast)
+            v = jnp.take_along_axis(s, pos, axis=-1)
+            slot = (jnp.take_along_axis(cidx, pos // chunk, axis=-1) * chunk
+                    + pos % chunk)
+            lab = jnp.take(ids, slot, axis=0)       # (nq_pad, k_eff) only
+            if metric is MetricType.L2:
+                # kernel scores omit the rank-invariant −‖q‖²; restore it
+                v = v - qn[:, None]
+        else:
+            def block(b):
+                s, cid = scores_blk(data, norms, counts, ids, sel, q, qeff,
+                                    qn, probe, b)
+                vb, i = jax.lax.top_k(s, k_eff)
+                return vb, jnp.take_along_axis(cid, i, axis=-1)
+
+            v, lab = jax.lax.map(block, jnp.arange(nblocks, dtype=jnp.int32))
+            v = v.reshape(nq_pad, k_eff)
+            lab = lab.reshape(nq_pad, k_eff)
         ok = v > -jnp.inf
         dists = dist_ops.scores_to_distances(v, metric)
         dists = jnp.where(ok, dists, worst_distance(metric))
@@ -593,7 +643,8 @@ class TpuIndexIVFFlat:
                 nlist=self.nlist, cap=self.cap, nprobe=nprobe,
                 nq_pad=nq_pad, k=int(k), d_pad=self.d_pad,
                 metric=self.metric, kind=self._kind, nbudget=nbudget,
-                with_sel=with_sel))
+                with_sel=with_sel,
+                interpret=not self.res.capabilities.is_tpu))
         out = fn(self._data, self._norms, self._counts_dev, self._ids,
                  self._cents, self._cnorms, jnp.asarray(qp), sel,
                  self._scales)

@@ -51,19 +51,24 @@ AXIS = TpuResources.SHARD_AXIS
 def _build_sharded_ivf_search_fn(*, mesh, nlist: int, cap: int, nprobe: int,
                                  nq_pad: int, k: int, d_pad: int,
                                  metric: MetricType, kind: str, nbudget: int,
-                                 with_sel: bool = False):
+                                 with_sel: bool = False,
+                                 interpret: bool = False):
     """One shard_map program: replicated probe, local fine scan, ICI merge.
 
     fn(data (P·nlist·cap, d_pad), norms, ids (P·nlist·cap,) i32 GLOBAL,
     counts (P·nlist,) i32, cents (nlist_pad, d_pad) replicated, cnorms,
     q (nq_pad, d_pad) replicated [, sel (P·nlist·cap,)] [, scales (d_pad,)])
     -> (dists (nq_pad, k) f32, glabels (nq_pad, k) i32) replicated."""
-    ncand = nbudget * min(_CHUNK, cap)
+    chunk = min(_CHUNK, cap)
+    ncand = nbudget * chunk
     k_loc = min(k, ncand)
     nblocks = nq_pad // _QB
-    scores_blk = _probed_scores(cap=cap, nprobe=nprobe, metric=metric,
-                                kind=kind, with_sel=with_sel,
-                                nbudget=nbudget)
+    use_kernel = (kind in ("bf16", "int8") and chunk == _CHUNK
+                  and cap % chunk == 0 and nq_pad % 8 == 0)
+    if not use_kernel:
+        scores_blk = _probed_scores(cap=cap, nprobe=nprobe, metric=metric,
+                                    kind=kind, with_sel=with_sel,
+                                    nbudget=nbudget)
 
     def per_device(data, norms, ids, counts, cents, cnorms, q, *extra):
         sel = extra[0] if with_sel else None
@@ -75,15 +80,43 @@ def _build_sharded_ivf_search_fn(*, mesh, nlist: int, cap: int, nprobe: int,
         qn = jnp.sum(q * q, axis=-1, dtype=jnp.float32)
         qeff = q * scales[None, :] if kind == "int8" else q
 
-        def block(b):
-            s, cid = scores_blk(data, norms, counts, ids, sel, q, qeff, qn,
-                                probe, b)
-            v, i = jax.lax.top_k(s, k_loc)
-            return v, jnp.take_along_axis(cid, i, axis=-1)
+        if use_kernel:
+            # local fine scan = the fused path's scalar-prefetch gather/
+            # rescore kernel (see ivf._build_ivf_search_fn — XLA's gather
+            # measured 2–13 GB/s; the kernel DMAs run at HBM bandwidth)
+            from ..ivf import _chunk_ids
+            from ..ops.pallas_fused import (RESCORE_RANKS,
+                                            rescore_groups_pallas)
 
-        v, g = jax.lax.map(block, jnp.arange(nblocks, dtype=jnp.int32))
-        v = v.reshape(nq_pad, k_loc)
-        g = g.reshape(nq_pad, k_loc)
+            cidx, okc = _chunk_ids(probe, counts, cap, chunk, nbudget,
+                                   nprobe)
+            occ = ids >= 0
+            sel_eff = occ if sel is None else occ & sel
+            s = rescore_groups_pallas(
+                qeff, data, norms, cidx, jnp.int32(data.shape[0]),
+                metric=metric, nv_eff=data.shape[0], interpret=interpret,
+                ranks_per_step=RESCORE_RANKS, sel=sel_eff)
+            s = jnp.where(jnp.broadcast_to(okc[:, :, None],
+                                           (nq_pad, nbudget, chunk)
+                                           ).reshape(nq_pad, ncand),
+                          s, -jnp.inf)
+            _, pos = jax.lax.top_k(s, k_loc)
+            v = jnp.take_along_axis(s, pos, axis=-1)
+            slot = (jnp.take_along_axis(cidx, pos // chunk, axis=-1) * chunk
+                    + pos % chunk)
+            g = jnp.take(ids, slot, axis=0)
+            if metric is MetricType.L2:
+                v = v - qn[:, None]   # restore the rank-invariant −‖q‖²
+        else:
+            def block(b):
+                s, cid = scores_blk(data, norms, counts, ids, sel, q, qeff,
+                                    qn, probe, b)
+                vb, i = jax.lax.top_k(s, k_loc)
+                return vb, jnp.take_along_axis(cid, i, axis=-1)
+
+            v, g = jax.lax.map(block, jnp.arange(nblocks, dtype=jnp.int32))
+            v = v.reshape(nq_pad, k_loc)
+            g = g.reshape(nq_pad, k_loc)
         g = jnp.where(v > -jnp.inf, g, jnp.int32(-1))
 
         # ICI merge: gather the tiny k-lists; every chip merges identically.
@@ -353,7 +386,8 @@ class ShardedIndexIVFFlat:
                 mesh=self.mesh, nlist=self.nlist, cap=cap, nprobe=nprobe,
                 nq_pad=nq_pad, k=int(k), d_pad=self.d_pad,
                 metric=self.metric, nbudget=nbudget,
-                kind=self.shards[0]._kind, with_sel=with_sel))
+                kind=self.shards[0]._kind, with_sel=with_sel,
+                interpret=not self.res.capabilities.is_tpu))
         q = jax.device_put(qp, NamedSharding(self.mesh, P(None, None)))
         args = (data, norms, ids, counts, cents, cnorms, q)
         if with_sel:

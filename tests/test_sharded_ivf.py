@@ -108,3 +108,22 @@ def test_sharded_ivf_untrained_and_validation():
     with pytest.raises(ValueError):
         sh.search(np.zeros((2, 16), np.float32), 0)  # bad k
     assert "shards=2" in sh.describe()
+
+
+@pytest.mark.parametrize("storage", ["bf16", "int8"])
+def test_sharded_ivf_kernel_fine_scan_path(storage):
+    """Per-shard cap >= 128 engages the Pallas gather/rescore fine scan
+    inside shard_map (interpret mode here) — parity with single-chip."""
+    xb, xq = int_data(12000, 5, 16, seed=53)
+    sh = ShardedIndexIVFFlat(16, 8, nprobe=3, storage=storage,
+                             num_shards=2, seed=5)
+    sh.train(xb)
+    sh.add(xb)
+    assert min(s.cap for s in sh.shards) >= 128  # kernel gate engaged
+    single = TpuIndexIVFFlat(16, 8, nprobe=3, storage=storage, seed=5)
+    single.train(xb)
+    single.add(xb)
+    D, I = sh.search(xq, 7)
+    Ds, Is = single.search(xq, 7)
+    np.testing.assert_array_equal(I, Is)
+    np.testing.assert_allclose(D, Ds, rtol=1e-6, atol=1e-6)
