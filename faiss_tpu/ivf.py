@@ -235,21 +235,81 @@ def _build_ivf_search_fn(*, nlist: int, cap: int, nprobe: int, nq_pad: int,
     ncand = nbudget * chunk
     k_eff = min(k, ncand)
     nblocks = nq_pad // _QB
-    use_kernel = (kind in ("bf16", "int8") and chunk == _CHUNK
+    # nprobe == nlist (exhaustive): probing is a no-op — skip the coarse
+    # GEMM and the per-query gather entirely and SWEEP the slot tensor like
+    # the flat plain path (shared across the batch; a per-query gather of
+    # the whole database would cost nq× the sweep). Costs sweep_bytes/load
+    # vs a true flat index (padding slots ride along, masked by occupancy).
+    dense = nprobe >= nlist
+    use_kernel = (not dense and kind in ("bf16", "int8") and chunk == _CHUNK
                   and cap % chunk == 0 and nq_pad % 8 == 0)
-    if not use_kernel:
+    if not use_kernel and not dense:
         scores_blk = _probed_scores(cap=cap, nprobe=nprobe, metric=metric,
                                     kind=kind, with_sel=with_sel,
                                     nbudget=nbudget)
 
     def fn(data, norms, counts, ids, cents, cnorms, q, sel=None,
            scales=None):
+        qn = jnp.sum(q * q, axis=-1, dtype=jnp.float32)
+        qeff = q * scales[None, :] if kind == "int8" else q
+        if dense:
+            from .ops import topk as topk_ops
+
+            nslots = data.shape[0]
+            occ = ids >= 0
+            sel_eff = occ if sel is None else occ & sel
+            # halve only while even → sweep_chunk always divides nslots
+            # exactly (cap is a power of two), so no clamped tail slice
+            sweep_chunk = nslots
+            while (sweep_chunk % 2 == 0
+                   and sweep_chunk * nq_pad * 4 > (256 << 20)):
+                sweep_chunk //= 2
+
+            def score_blk(start):
+                dbs = jax.lax.dynamic_slice_in_dim(data, start, sweep_chunk,
+                                                   axis=0)
+                ns = jax.lax.dynamic_slice_in_dim(norms, start, sweep_chunk,
+                                                  axis=0)
+                if kind == "f32":
+                    s = dist_ops.matmul_scores(qeff, dbs, ns, metric)
+                else:
+                    dn = (((1,), (1,)), ((), ()))
+                    from .storage import split3_f32_bf16
+
+                    vb = (dbs.astype(jnp.bfloat16) if kind == "int8"
+                          else dbs)
+                    dots = None
+                    for qp_ in split3_f32_bf16(qeff):
+                        dp = jax.lax.dot_general(
+                            qp_, vb, dn, preferred_element_type=jnp.float32)
+                        dots = dp if dots is None else dots + dp
+                    s = (2.0 * dots - qn[:, None] - ns[None, :]
+                         if metric is MetricType.L2 else dots)
+                ok = jax.lax.dynamic_slice_in_dim(sel_eff, start, sweep_chunk,
+                                                  axis=0)
+                return jnp.where(ok[None, :], s, -jnp.inf)
+
+            ke = min(k, nslots)
+            v, slot = topk_ops.chunked_topk_scores(
+                score_blk, nslots, sweep_chunk, ke)
+            lab = jnp.take(ids, slot, axis=0)
+            ok = v > -jnp.inf
+            dists = dist_ops.scores_to_distances(v, metric)
+            dists = jnp.where(ok, dists, worst_distance(metric))
+            lab = jnp.where(ok, lab, jnp.int32(-1))
+            if ke < k:
+                dists = jnp.concatenate([
+                    dists, jnp.full((nq_pad, k - ke),
+                                    worst_distance(metric), jnp.float32)],
+                    axis=-1)
+                lab = jnp.concatenate([
+                    lab, jnp.full((nq_pad, k - ke), -1, jnp.int32)], axis=-1)
+            return dists, lab
+
         # coarse probe: same arithmetic as the quantizer's flat search;
         # padded centroid rows carry +inf norms -> -inf scores
         cs = dist_ops.matmul_scores(q, cents, cnorms, metric)
         _, probe = jax.lax.top_k(cs, nprobe)        # (nq_pad, nprobe) i32
-        qn = jnp.sum(q * q, axis=-1, dtype=jnp.float32)
-        qeff = q * scales[None, :] if kind == "int8" else q
 
         if use_kernel:
             from .ops.pallas_fused import (RESCORE_RANKS,
@@ -616,7 +676,8 @@ class TpuIndexIVFFlat:
         bytes_per_q = nbudget * min(_CHUNK, self.cap) * self.d_pad * (
             {jnp.dtype(jnp.float32): 4, jnp.dtype(jnp.bfloat16): 2,
              jnp.dtype(jnp.int8): 1}[jnp.dtype(self._dtype)])
-        if _QB * bytes_per_q > _GATHER_BUDGET:
+        # nprobe == nlist routes to the dense shared sweep (no gather)
+        if nprobe < self.nlist and _QB * bytes_per_q > _GATHER_BUDGET:
             raise ValueError(
                 f"IVF fine scan would gather {_QB * bytes_per_q >> 20} MB "
                 f"per block (nprobe={nprobe}, chunk budget={nbudget}); "
@@ -688,6 +749,13 @@ class TpuIndexIVFFlat:
         if self.ntotal == 0:
             return (np.zeros(nq + 1, np.int64), np.empty(0, np.float32),
                     np.empty(0, np.int64))
+        # range always runs the gather block (no dense shortcut), so the
+        # budget gate applies even at nprobe == nlist
+        chunk = min(_CHUNK, self.cap)
+        if _QB * nbudget * chunk * self.d_pad * 4 > _GATHER_BUDGET:
+            raise ValueError(
+                f"IVF range_search would gather too much per block "
+                f"(nprobe={nprobe}, chunk budget={nbudget}); lower nprobe")
         thr = np.float32(-radius if self.metric is MetricType.L2 else radius)
         with_sel = sel is not None
 
