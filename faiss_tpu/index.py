@@ -732,8 +732,26 @@ class TpuIndexFlat:
 
     def assign(self, x: np.ndarray, k: int = 1) -> np.ndarray:
         """Labels-only search (faiss::Index::assign — the reference inherits
-        it from the faiss base, MetalIndexFlat.h:47). Returns (nq, k) i64."""
-        return self.search(x, k)[1]
+        it from the faiss base, MetalIndexFlat.h:47). Returns (nq, k) i64.
+
+        Chunks huge query batches on the host: assign() is the bulk path
+        (IVF add routes every row through the coarse quantizer), and one
+        1M-query search against a 4096-row centroid table would materialize
+        a 16 GB score matrix on the plain path (measured OOM,
+        measurements_r4/ivf1m_v2.log)."""
+        x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, self.d)
+        nv_eff = max(_round_up(max(self.ntotal, 1), ROW_TILE), ROW_TILE)
+        budget = 256 << 20  # bytes of (nq_chunk, nv_eff) f32 scores
+        nq_chunk = max(NQ_PAD, (budget // (nv_eff * 4)) // NQ_PAD * NQ_PAD)
+        if len(x) <= nq_chunk:
+            return self.search(x, k)[1]
+        # enqueue every chunk before waiting any: through a high-latency
+        # link the dispatches pipeline instead of paying a blocking round
+        # trip per chunk (a 1M-row assign against nlist=8192 is ~123
+        # chunks — sequential blocking searches would be minutes)
+        toks = [self.search_async(x[i0:i0 + nq_chunk], k)
+                for i0 in range(0, len(x), nq_chunk)]
+        return np.concatenate([t.wait()[1] for t in toks], axis=0)
 
     def search_and_reconstruct(
         self, x: np.ndarray, k: int, params=None,

@@ -24,6 +24,7 @@ from .idmap import TpuIndexIDMap, TpuIndexIDMap2
 from .index import TpuIndexFlat
 from .ivf import TpuIndexIVFFlat
 from .parallel.sharded import ShardedIndexFlat
+from .parallel.sharded_ivf import ShardedIndexIVFFlat
 
 _FORMAT_VERSION = 1
 
@@ -68,20 +69,42 @@ def save_index(index, path: str) -> None:
         "ntotal": index.ntotal,
         "wrapper": wrapper,
     }
-    if isinstance(index, TpuIndexIVFFlat):
+    if isinstance(index, (TpuIndexIVFFlat, ShardedIndexIVFFlat)):
         # IVF: centroids + the saved coarse ASSIGNMENT (a reload re-routes
         # with the stored routing, never a fp32 re-assignment) + the raw
-        # stored bits and pre-quantization norms in insertion-id order
+        # stored bits and pre-quantization norms in insertion-id order.
+        # ShardedIndexIVFFlat flattens to the same format in GLOBAL id
+        # order — results are shard-count invariant by construction, so
+        # the file needs no shard structure.
         if not index.is_trained:
             raise ValueError("cannot save an untrained IVF index")
         meta.update(kind="ivf", nlist=index.nlist, nprobe=index.nprobe)
         extra = {"centroids": np.zeros((index.nlist, index.d), np.float32)}
         for j in range(index.nlist):
             extra["centroids"][j] = index.quantizer.reconstruct(j)
+        scale_src = (index.shards[0] if isinstance(index, ShardedIndexIVFFlat)
+                     else index)
         if index.storage_type is StorageType.INT8:
             extra["scales"] = np.asarray(
-                jax.device_get(index._scales), np.float32)[: index.d]
-        if index.ntotal:
+                jax.device_get(scale_src._scales), np.float32)[: index.d]
+        if index.ntotal and isinstance(index, ShardedIndexIVFFlat):
+            vec = None
+            nrm = np.zeros((index.ntotal,), np.float32)
+            assign = np.zeros((index.ntotal,), np.int64)
+            for si, sh in enumerate(index.shards):
+                g = np.nonzero(index._id_shard == si)[0]
+                if g.size == 0:
+                    continue
+                rows_s, nrm_s = sh._rows_by_id()
+                if vec is None:
+                    vec = np.zeros((index.ntotal,) + rows_s.shape[1:],
+                                   rows_s.dtype)
+                loc = index._id_local[g]
+                vec[g] = rows_s[loc]
+                nrm[g] = nrm_s[loc]
+                assign[g] = sh._assignments()[loc]
+            extra["assign"] = assign
+        elif index.ntotal:
             vec, nrm = index._rows_by_id()
             extra["assign"] = index._assignments()
         else:
@@ -157,15 +180,6 @@ def load_index(path: str, sharded: bool = False, resources=None,
     metric = MetricType.coerce(meta["metric"])
     storage = StorageType.coerce(meta["storage"])
     if meta.get("kind") == "ivf":
-        if sharded:
-            raise ValueError("IVF indexes load single-device (sharded IVF "
-                             "is not implemented)")
-        idx = TpuIndexIVFFlat(meta["d"], meta["nlist"], metric=metric,
-                              storage=storage, nprobe=meta["nprobe"],
-                              resources=resources)
-        if storage is StorageType.INT8:
-            idx._set_scales(np.asarray(z_scales, np.float32)[: meta["d"]])
-        idx._set_centroids(np.asarray(z_cents, np.float32))
         if meta["ntotal"]:
             if vec.dtype == np.int8:
                 pass  # raw codes land bit-exactly (no re-quantization)
@@ -173,6 +187,54 @@ def load_index(path: str, sharded: bool = False, resources=None,
                 import ml_dtypes
 
                 vec = np.asarray(vec.view(ml_dtypes.bfloat16), np.float32)
+        if sharded:
+            # redistribute in contiguous balanced splits; ids stay GLOBAL
+            # and the routing transfers, so the reloaded mesh index returns
+            # the single-chip results (shard-count invariance)
+            idx = ShardedIndexIVFFlat(
+                meta["d"], meta["nlist"], metric=metric, storage=storage,
+                nprobe=meta["nprobe"], resources=resources)
+            s0 = idx.shards[0]
+            if storage is StorageType.INT8:
+                s0._set_scales(np.asarray(z_scales, np.float32)[: meta["d"]])
+            s0._set_centroids(np.asarray(z_cents, np.float32))
+            for s in idx.shards[1:]:
+                if storage is StorageType.INT8:
+                    s._scales = s0._scales
+                s._set_centroids(np.asarray(z_cents, np.float32),
+                                 quantizer=s0.quantizer)
+            n = int(meta["ntotal"])
+            if n:
+                assign = np.asarray(z_assign, np.int64)
+                p = idx.num_shards
+                base, rem = divmod(n, p)
+                off = 0
+                id_shard = np.empty(n, np.int16)
+                id_local = np.empty(n, np.int64)
+                for si in range(p):
+                    c = base + (1 if si < rem else 0)
+                    if c == 0:
+                        continue
+                    sh = idx.shards[si]
+                    gids = np.arange(off, off + c, dtype=np.int32)
+                    sh._add_preassigned(
+                        vec[off: off + c],
+                        np.asarray(nrm[off: off + c], np.float32),
+                        assign[off: off + c], global_ids=gids)
+                    id_shard[off: off + c] = si
+                    id_local[off: off + c] = np.arange(c)
+                    off += c
+                idx._id_shard = id_shard
+                idx._id_local = id_local
+                idx.ntotal = n
+            return _wrap(idx)
+        idx = TpuIndexIVFFlat(meta["d"], meta["nlist"], metric=metric,
+                              storage=storage, nprobe=meta["nprobe"],
+                              resources=resources)
+        if storage is StorageType.INT8:
+            idx._set_scales(np.asarray(z_scales, np.float32)[: meta["d"]])
+        idx._set_centroids(np.asarray(z_cents, np.float32))
+        if meta["ntotal"]:
             idx._add_preassigned(vec, np.asarray(nrm, np.float32),
                                  np.asarray(z_assign, np.int64))
         return _wrap(idx)

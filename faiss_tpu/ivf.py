@@ -9,21 +9,30 @@ trading recall for a ~nlist/nprobe scan reduction.
 
 TPU-first design (nothing like faiss's pointer-chasing InvertedLists):
 
-  * Bucket-major PADDED storage: one (nlist, cap, d_pad) device tensor
-    (cap grows by doubling, shared across lists, so every gather is
-    regular), plus per-slot norms and insertion ids. Static shapes — the
-    compiled search program is keyed on (cap, nprobe, k, nq_pad) only.
+  * CHUNK-PAGED POOL storage: one (npool·128, d_pad) device tensor of
+    128-row chunks (pool doubles; 128 = the Pallas gather kernel's GROUP
+    granularity) plus per-slot norms and insertion ids. A (nlist, maxc)
+    int32 PAGE TABLE maps each list's j-th chunk to its pool chunk, so
+    HBM, gather traffic, and the dense sweep all follow OCCUPANCY — a
+    skewed list-size distribution costs what it stores, never
+    nlist × max-list (the r3 per-list padded tensor held 17× the live
+    rows on real k-means output and was un-allocatable at 10M rows).
+    Static shapes — the compiled search program is keyed on
+    (npool, maxc, nprobe, k, nq_pad) only.
   * Coarse probe = one MXU GEMM against the centroids (the shared
     ``matmul_scores`` convention) + ``lax.top_k`` — identical arithmetic
     to the quantizer's own flat search.
-  * Fine scan = ONE batched gather of the probed buckets per query block
-    followed by a batched ``dot_general`` — (QB, nprobe·cap, d) × (QB, d)
-    on the MXU with fp32 accumulation. ``lax.map`` over query blocks
-    bounds the gather working set; no data-dependent shapes anywhere
-    (empty / short lists are masked, never branched on).
+  * Fine scan = the probed lists' occupied chunks laid out contiguously
+    per query (``_chunk_ids``) feeding the fused path's scalar-prefetch
+    gather/rescore kernel (all storage kinds; f32 rows split 3-way
+    in-register for exact products). range_search keeps an XLA
+    chunk-take + batched ``dot_general`` block with ``lax.map`` over
+    query blocks bounding the gather working set; no data-dependent
+    shapes anywhere (empty / short lists are masked, never branched on).
   * add() keeps the data on device: the coarse assignment comes back to
-    the host (n int32 — tiny), slot indices are computed on the host
-    against the counts mirror, and the rows land with one donated scatter.
+    the host (n int32 — tiny), page-table growth and slot indices are
+    host arithmetic on the counts mirror, and the rows land with one
+    donated scatter. Pool growth appends chunks — slots never move.
 
 Distances are computed exactly (same fp32-true-to-stored-bits class as
 the flat plain path), so ``nprobe == nlist`` reproduces TpuIndexFlat
@@ -32,17 +41,14 @@ results; smaller nprobe trades recall exactly like faiss.
 Reference for API semantics: faiss/IndexIVF.h (train/add/search/nprobe,
 reconstruct via direct map; untrained add raises).
 
-Design note — gather cost vs skew (r4): HBM still holds the regular padded
-(nlist, cap) tensor (static shapes, no CSR pointer chase, cheap add()),
-but the fine scan walks it in _CHUNK-row pieces with a per-shape budget of
-``sum of the nprobe largest per-list chunk counts`` — so a skewed list-size
-distribution pays for the lists a probe can actually hit, never
-nprobe × cap. The r3 whole-bucket gather LOST to the flat sweep on 1M
-mixture data (k-means left cap=16384 at mean size 977, load 0.06 —
-measurements_r4/ivf1m.log); the chunked walk restores the occupancy-
-proportional cost a CSR layout would give, at load ≈ 1 within each probed
-list's last chunk. HBM capacity (not traffic) still pays for the padding;
-``describe()`` reports ``bucket_load``.
+Design note — skew (r4): the fine scan's per-shape budget is the ``sum of
+the nprobe largest per-list chunk counts`` — a skewed list-size
+distribution pays for the lists a probe can actually hit. The page table
+extends the same occupancy-proportionality to HBM capacity and the dense
+sweep: k-means on 1M mixture data left the r3 padded layout at cap=16384
+for mean size 977 (load 0.06, 17× the live HBM — measurements_r4/
+ivf1m.log); the paged pool stores the same index at load ≈ 0.9
+(``describe()`` reports ``bucket_load`` = rows per occupied slot).
 
 IVF recall is data-dependent by construction (faiss semantics, not a
 quality bug): on unclusterable data (pure i.i.d. Gaussian) true neighbors
@@ -70,7 +76,7 @@ from .storage import LANE, _round_up
 __all__ = ["TpuIndexIVFFlat"]
 
 _QB = 8            # query rows per fine-scan block (static)
-_CAP0 = 64         # initial per-list capacity
+_POOL0 = 8         # initial chunk-pool capacity (chunks; doubles)
 _GATHER_BUDGET = 512 << 20  # bytes of gathered candidates per block
 # fine-scan sub-bucket granularity (rows): the gather walks CHUNK-row
 # pieces of the probed lists instead of whole cap-row buckets, so a
@@ -86,12 +92,14 @@ _GATHER_BUDGET = 512 << 20  # bytes of gathered candidates per block
 _CHUNK = 128
 
 
-def _chunk_ids(probe, counts, cap: int, chunk: int, nbudget: int,
+def _chunk_ids(probe, counts, ctable, chunk: int, nbudget: int,
                nprobe: int):
     """Lay the probed lists' OCCUPIED chunks out contiguously per query:
-    (cidx (nq, nbudget) int32 chunk ids into the (nslots/chunk, …) chunk-
-    major view, okc (nq, nbudget) bool — False for over-budget positions,
-    which point at chunk 0 and must be post-masked)."""
+    (cidx (nq, nbudget) int32 POOL chunk ids, okc (nq, nbudget) bool —
+    False for over-budget positions, which point at chunk 0 and must be
+    post-masked). ``ctable`` (nlist, maxc) int32 is the page table: entry
+    [l, j] is the pool chunk holding list l's rows [j·chunk, (j+1)·chunk)."""
+    maxc = ctable.shape[1]
     cnt = jnp.take(counts, probe, axis=0)            # (nq, nprobe)
     ccnt = -(-cnt // chunk)                          # chunks per probed list
     offs = jnp.cumsum(ccnt, axis=-1) - ccnt          # exclusive prefix
@@ -104,8 +112,11 @@ def _chunk_ids(probe, counts, cap: int, chunk: int, nbudget: int,
     within = pos[None, :] - jnp.take_along_axis(offs, li, axis=-1)
     okc = within < jnp.take_along_axis(ccnt, li, axis=-1)
     lst = jnp.take_along_axis(probe, li, axis=-1)
-    cidx = jnp.where(okc, lst * (cap // chunk) + within, 0)
-    return cidx, okc
+    # page-table lookup: (list, within) -> pool chunk (a tiny gather —
+    # nlist·maxc int32, nothing like the row gather it steers)
+    cidx = jnp.take(ctable.reshape(-1),
+                    lst * maxc + jnp.where(okc, within, 0), axis=0)
+    return jnp.where(okc, cidx, 0), okc
 
 
 def _round_budget(b: int) -> int:
@@ -127,7 +138,7 @@ def _chunk_budget(counts: np.ndarray, nprobe: int, chunk: int) -> int:
     return _round_budget(int(top.sum()))
 
 
-def _probed_scores(*, cap: int, nprobe: int, metric: MetricType,
+def _probed_scores(*, nprobe: int, metric: MetricType,
                    kind: str, with_sel: bool, nbudget: int):
     """Shared fine-scan block: gather the probed lists' OCCUPIED chunks for
     a QB-query slice and score them — search and range_search use the SAME
@@ -146,17 +157,18 @@ def _probed_scores(*, cap: int, nprobe: int, metric: MetricType,
     EXACTLY, the query side is the exact split of q∘s — the flat index's
     dist_ops.int8_scores contract; the gather moves 1 B/elem).
 
-    Returns block(data, norms, counts, ids, sel, q, qeff, qn, probe, b) ->
-    (scores (QB, ncand) with invalid/filtered -inf, cid (QB, ncand));
-    ``qeff`` is the dot-side query (q for float kinds, q∘scales for int8)."""
-    chunk = min(_CHUNK, cap)
+    Returns block(data, norms, counts, ids, ctable, sel, q, qeff, qn,
+    probe, b) -> (scores (QB, ncand) with invalid/filtered -inf, cid
+    (QB, ncand)); ``qeff`` is the dot-side query (q for float kinds,
+    q∘scales for int8)."""
+    chunk = _CHUNK
     ncand = nbudget * chunk
 
-    def block(data, norms, counts, ids, sel, q, qeff, qn, probe, b):
+    def block(data, norms, counts, ids, ctable, sel, q, qeff, qn, probe, b):
         qs = jax.lax.dynamic_slice_in_dim(qeff, b * _QB, _QB, axis=0)
         qns = jax.lax.dynamic_slice_in_dim(qn, b * _QB, _QB, axis=0)
         pr = jax.lax.dynamic_slice_in_dim(probe, b * _QB, _QB, axis=0)
-        cidx, okc = _chunk_ids(pr, counts, cap, chunk, nbudget, nprobe)
+        cidx, okc = _chunk_ids(pr, counts, ctable, chunk, nbudget, nprobe)
         # CHUNK-granular gather: reshape the slot-major tensors so one take
         # row moves one whole chunk contiguously. NOTE (r4c.log): XLA's
         # gather is catastrophically slow on TPU regardless of slice width
@@ -209,57 +221,75 @@ def _probed_scores(*, cap: int, nprobe: int, metric: MetricType,
     return block
 
 
-def _build_ivf_search_fn(*, nlist: int, cap: int, nprobe: int, nq_pad: int,
+def _build_ivf_search_fn(*, nlist: int, nprobe: int, nq_pad: int,
                          k: int, d_pad: int, metric: MetricType,
-                         kind: str, nbudget: int, with_sel: bool = False,
+                         kind: str, nbudget: int, nsweep: int = 0,
+                         with_sel: bool = False,
                          interpret: bool = False):
-    """fn(data (nlist*cap, d_pad), norms (nlist*cap,), counts (nlist,) i32,
-    ids (nlist*cap,) i32, cents (nlist_pad, d_pad), cnorms (nlist_pad,),
-    q (nq_pad, d_pad) [, sel (nlist*cap,) bool] [, scales (d_pad,) — int8])
+    """fn(data (npool·128, d_pad), norms (npool·128,), counts (nlist,) i32,
+    ids (npool·128,) i32, ctable (nlist, maxc) i32, cents (nlist_pad,
+    d_pad), cnorms (nlist_pad,), q (nq_pad, d_pad) [, sel (npool·128,)
+    bool] [, scales (d_pad,) — int8])
     -> (dists (nq_pad, k) f32, labels (nq_pad, k) i32).
 
     One jitted program: coarse GEMM -> top-nprobe -> fine scan -> top-k.
 
-    Fine scan (bf16/int8 rows, chunk == 128): the probed chunk ids feed the
-    fused path's scalar-prefetch gather/rescore kernel
+    Storage is a chunk-paged pool (one 128-row chunk = one page; ``ctable``
+    is the page table), so HBM and the dense sweep cost follow OCCUPANCY —
+    the r3 per-list padded tensor held 17× the live rows on real k-means
+    output (cap=16384 at mean 977, measurements_r4/ivf1m.log) and made the
+    10M bench un-allocatable.
+
+    Fine scan (bf16/int8 rows): the probed POOL chunk ids feed the fused
+    path's scalar-prefetch gather/rescore kernel
     (pallas_fused.rescore_groups_pallas) — its block DMAs run at HBM
     bandwidth where XLA's own gather measured 2–13 GB/s on TPU regardless
     of slice width (187 ms for a 437 MB candidate sweep —
     measurements_r4/r4c.log). Slot validity (occupancy + selector) rides
     the kernel's pre-masked norm stream as ``ids >= 0 [& sel]``; scores are
-    the same fp32-true class as the flat index's rescore. f32 rows keep the
-    XLA chunk-take block (the kernel's bf16 cast would break the exact-fp32
-    contract), as does range_search.
+    the same fp32-true class as the flat index's rescore (f32 rows split
+    3-way in-register — exact products). range_search keeps the XLA
+    chunk-take block.
     """
-    chunk = min(_CHUNK, cap)
+    chunk = _CHUNK
     ncand = nbudget * chunk
     k_eff = min(k, ncand)
     nblocks = nq_pad // _QB
     # nprobe == nlist (exhaustive): probing is a no-op — skip the coarse
-    # GEMM and the per-query gather entirely and SWEEP the slot tensor like
-    # the flat plain path (shared across the batch; a per-query gather of
-    # the whole database would cost nq× the sweep). Costs sweep_bytes/load
-    # vs a true flat index (padding slots ride along, masked by occupancy).
+    # GEMM and the per-query gather entirely and SWEEP the pool like the
+    # flat plain path (shared across the batch; a per-query gather of the
+    # whole database would cost nq× the sweep). The chunk-paged pool keeps
+    # this within ~1/load of a true flat sweep (load = live rows per
+    # occupied chunk, ≈ 0.9 for mean list sizes ≫ 128).
     dense = nprobe >= nlist
-    use_kernel = (not dense and kind in ("bf16", "int8") and chunk == _CHUNK
-                  and cap % chunk == 0 and nq_pad % 8 == 0)
+    # every storage kind rides the Pallas gather kernel: bf16/int8 rows
+    # rescore as before; f32 rows split 3-way IN-REGISTER (exact products,
+    # fp32-true — pallas_fused._rescore_dots), replacing the XLA chunk-take
+    # whose gather measured 2-13 GB/s (r4c.log)
+    use_kernel = not dense and kind in ("bf16", "int8", "f32") \
+        and nq_pad % 8 == 0
     if not use_kernel and not dense:
-        scores_blk = _probed_scores(cap=cap, nprobe=nprobe, metric=metric,
+        scores_blk = _probed_scores(nprobe=nprobe, metric=metric,
                                     kind=kind, with_sel=with_sel,
                                     nbudget=nbudget)
 
-    def fn(data, norms, counts, ids, cents, cnorms, q, sel=None,
+    def fn(data, norms, counts, ids, ctable, cents, cnorms, q, sel=None,
            scales=None):
         qn = jnp.sum(q * q, axis=-1, dtype=jnp.float32)
         qeff = q * scales[None, :] if kind == "int8" else q
         if dense:
             from .ops import topk as topk_ops
 
-            nslots = data.shape[0]
+            # occupied chunks are always the POOL PREFIX (sequential
+            # allocation; remove_ids rebuilds compactly), so the sweep
+            # covers only ``nsweep`` rows (the quantized used prefix) —
+            # never the doubling headroom above it
+            nslots = min(nsweep, data.shape[0]) if nsweep else data.shape[0]
             occ = ids >= 0
             sel_eff = occ if sel is None else occ & sel
             # halve only while even → sweep_chunk always divides nslots
-            # exactly (cap is a power of two), so no clamped tail slice
+            # exactly (nsweep is quantized to ~2 significant bits of
+            # chunks), so no clamped tail slice
             sweep_chunk = nslots
             while (sweep_chunk % 2 == 0
                    and sweep_chunk * nq_pad * 4 > (256 << 20)):
@@ -315,7 +345,7 @@ def _build_ivf_search_fn(*, nlist: int, cap: int, nprobe: int, nq_pad: int,
             from .ops.pallas_fused import (RESCORE_RANKS,
                                            rescore_groups_pallas)
 
-            cidx, okc = _chunk_ids(probe, counts, cap, chunk, nbudget,
+            cidx, okc = _chunk_ids(probe, counts, ctable, chunk, nbudget,
                                    nprobe)
             occ = ids >= 0            # slot validity (counts + removals)
             sel_eff = occ if sel is None else occ & sel
@@ -338,8 +368,8 @@ def _build_ivf_search_fn(*, nlist: int, cap: int, nprobe: int, nq_pad: int,
                 v = v - qn[:, None]
         else:
             def block(b):
-                s, cid = scores_blk(data, norms, counts, ids, sel, q, qeff,
-                                    qn, probe, b)
+                s, cid = scores_blk(data, norms, counts, ids, ctable, sel,
+                                    q, qeff, qn, probe, b)
                 vb, i = jax.lax.top_k(s, k_eff)
                 return vb, jnp.take_along_axis(cid, i, axis=-1)
 
@@ -361,33 +391,33 @@ def _build_ivf_search_fn(*, nlist: int, cap: int, nprobe: int, nq_pad: int,
     return jax.jit(fn)
 
 
-def _build_ivf_range_fn(*, cap: int, nprobe: int, nq_pad: int, rcap: int,
+def _build_ivf_range_fn(*, nprobe: int, nq_pad: int, rcap: int,
                         metric: MetricType, kind: str, nbudget: int,
                         with_sel: bool = False):
     """Range scan over the probed lists (faiss IndexIVF::range_search
     semantics: hits are complete WITHIN the nprobe probed lists).
 
-    fn(data, norms, counts, ids, cents, cnorms, q, thr [, sel]) ->
+    fn(data, norms, counts, ids, ctable, cents, cnorms, q, thr [, sel]) ->
     (counts_out (1, nq_pad) i32, vals (1, nq_pad, rcap), gids (1, ...)) —
     shaped as ONE chunk for the shared host CSR assembly (_range_csr);
     counts are exact past rcap, so its capacity-doubling re-run applies."""
-    ncand = nbudget * min(_CHUNK, cap)
+    ncand = nbudget * _CHUNK
     nblocks = nq_pad // _QB
     rcap = min(rcap, ncand)
-    scores_blk = _probed_scores(cap=cap, nprobe=nprobe, metric=metric,
+    scores_blk = _probed_scores(nprobe=nprobe, metric=metric,
                                 kind=kind, with_sel=with_sel,
                                 nbudget=nbudget)
 
-    def fn(data, norms, counts, ids, cents, cnorms, q, thr, sel=None,
-           scales=None):
+    def fn(data, norms, counts, ids, ctable, cents, cnorms, q, thr,
+           sel=None, scales=None):
         cs = dist_ops.matmul_scores(q, cents, cnorms, metric)
         _, probe = jax.lax.top_k(cs, nprobe)
         qn = jnp.sum(q * q, axis=-1, dtype=jnp.float32)
         qeff = q * scales[None, :] if kind == "int8" else q
 
         def block(b):
-            s, cid = scores_blk(data, norms, counts, ids, sel, q, qeff, qn,
-                                probe, b)
+            s, cid = scores_blk(data, norms, counts, ids, ctable, sel, q,
+                                qeff, qn, probe, b)
             hit = s > thr  # strict, like the flat path
             nhit = jnp.sum(hit, axis=-1, dtype=jnp.int32)
             v, i = jax.lax.top_k(jnp.where(hit, s, -jnp.inf), rcap)
@@ -417,11 +447,15 @@ def _compact_slots_fn(arr, perm):
 _compact_slots = jax.jit(_compact_slots_fn, donate_argnums=(0,))
 
 
-def _pad_lists_fn(old, nlist, cap, new_cap):
-    o = old.reshape((nlist, cap) + old.shape[1:])
-    pad = [(0, 0)] * o.ndim
-    pad[1] = (0, new_cap - cap)
-    return jnp.pad(o, pad).reshape((nlist * new_cap,) + old.shape[1:])
+def _grow_pool_fn(old, new_rows, fill):
+    """Extend a pool tensor along axis 0 (chunk-pool doubling). Existing
+    slots keep their flat index — growth never moves a row (unlike the r3
+    per-list padded layout, which re-strided every slot on cap growth)."""
+    pad = [(0, new_rows - old.shape[0])] + [(0, 0)] * (old.ndim - 1)
+    return jnp.pad(old, pad, constant_values=fill)
+
+
+_grow_pool = jax.jit(_grow_pool_fn, static_argnums=(1, 2))
 
 
 class TpuIndexIVFFlat:
@@ -461,14 +495,22 @@ class TpuIndexIVFFlat:
         self._cents = None               # (nlist_pad, d_pad) f32 device
         self._cnorms = None              # (nlist_pad,) f32 (+inf on pads)
         self.ntotal = 0
-        self.cap = 0
-        self._data = None                # (nlist*cap, d_pad) storage dtype
-        self._norms = None               # (nlist*cap,) f32 (pre-quant norms;
+        # chunk-paged pool storage: npool 128-row chunks, paged to lists
+        # through the (nlist, maxc) page table (see module docstring)
+        self.npool = 0                   # pool capacity (chunks; doubles)
+        self.maxc = 0                    # page-table width (chunks)
+        self._used_chunks = 0            # pool allocation top
+        self._data = None                # (npool*128, d_pad) storage dtype
+        self._norms = None               # (npool*128,) f32 (pre-quant norms;
         #                                  int8: DECODED norms — see storage)
-        self._ids = None                 # (nlist*cap,) i32 insertion ids
+        self._ids = None                 # (npool*128,) i32 insertion ids
+        self._ctable_host = np.zeros((self.nlist, 0), np.int32)
+        self._ctable = None              # device page table (nlist, maxc)
+        self._chunk_list = np.empty(0, np.int32)  # pool chunk -> owning list
+        self._list_nchunks = np.zeros(self.nlist, np.int32)
         self._counts = np.zeros(self.nlist, np.int32)   # host mirror
         self._counts_dev = None
-        self._slot_of = np.empty(0, np.int64)  # insertion id -> flat slot
+        self._slot_of = np.empty(0, np.int64)  # insertion id -> pool slot
         # int8 list storage: per-dim scales frozen at train() (flat-index
         # discipline, storage.DeviceStore.train) + clip observability
         self._scales = None              # (d_pad,) f32 device
@@ -529,28 +571,36 @@ class TpuIndexIVFFlat:
         self._cnorms = jax.device_put(cn)
 
     # -- add ------------------------------------------------------------------
-    def _ensure_cap(self, need_per_list: np.ndarray) -> None:
-        new_cap = self.cap if self.cap else _CAP0
-        while (need_per_list > new_cap).any():
-            new_cap *= 2
-        if new_cap == self.cap:
-            return
-        if self._data is None:
-            self._data = jnp.zeros((self.nlist * new_cap, self.d_pad),
-                                   self._dtype)
-            self._norms = jnp.zeros((self.nlist * new_cap,), jnp.float32)
-            self._ids = jnp.full((self.nlist * new_cap,), -1, jnp.int32)
-        else:
-            old = self.cap
-            self._data = _pad_lists_fn(self._data, self.nlist, old, new_cap)
-            self._norms = _pad_lists_fn(self._norms, self.nlist, old, new_cap)
-            o = self._ids.reshape(self.nlist, old)
-            self._ids = jnp.pad(o, ((0, 0), (0, new_cap - old)),
-                                constant_values=-1).reshape(-1)
-            # slots moved: recompute from (list, offset) decomposition
-            lst, off = self._slot_of // old, self._slot_of % old
-            self._slot_of = lst * new_cap + off
-        self.cap = new_cap
+    def _ensure_pool(self, need_chunks: int, need_maxc: int) -> None:
+        """Grow the chunk pool (device tensors, by doubling) and the page
+        table (host + device width) to hold ``need_chunks`` total allocated
+        chunks / ``need_maxc`` chunks on the fattest list. Pool growth
+        appends rows — existing slots never move, so ``_slot_of`` survives
+        growth untouched (the r3 padded layout re-strided every slot)."""
+        new_pool = self.npool if self.npool else _POOL0
+        while need_chunks > new_pool:
+            new_pool *= 2
+        if new_pool != self.npool:
+            rows = new_pool * _CHUNK
+            if self._data is None:
+                self._data = jnp.zeros((rows, self.d_pad), self._dtype)
+                self._norms = jnp.zeros((rows,), jnp.float32)
+                self._ids = jnp.full((rows,), -1, jnp.int32)
+            else:
+                self._data = _grow_pool(self._data, rows, 0)
+                self._norms = _grow_pool(self._norms, rows, 0)
+                self._ids = _grow_pool(self._ids, rows, -1)
+            self._chunk_list = np.concatenate([
+                self._chunk_list,
+                np.full(new_pool - self.npool, -1, np.int32)])
+            self.npool = new_pool
+        if need_maxc > self.maxc:
+            new_maxc = max(self.maxc, 1)
+            while need_maxc > new_maxc:
+                new_maxc *= 2
+            self._ctable_host = np.pad(
+                self._ctable_host, ((0, 0), (0, new_maxc - self.maxc)))
+            self.maxc = new_maxc
 
     def add(self, x: np.ndarray) -> None:
         if not self.is_trained:
@@ -597,14 +647,31 @@ class TpuIndexIVFFlat:
         # host slot assignment against the counts mirror (vectorized,
         # stable within each list: sorted order -> rank within group)
         add_per_list = np.bincount(assign, minlength=self.nlist)
-        pos = self._counts.astype(np.int64) + add_per_list
-        self._ensure_cap(pos)
+        new_counts = self._counts.astype(np.int64) + add_per_list
+        need_c = -(-new_counts // _CHUNK)            # chunks per list after
+        grow = (need_c - self._list_nchunks).astype(np.int64)
+        total_new = int(grow.sum())
+        self._ensure_pool(self._used_chunks + total_new, int(need_c.max()))
+        if total_new:
+            # allocate fresh pool chunks to the growing lists, in list
+            # order, and page them into the table
+            ll = np.repeat(np.arange(self.nlist, dtype=np.int64), grow)
+            j = (np.arange(total_new)
+                 - np.repeat(np.cumsum(grow) - grow, grow))
+            new_chunks = self._used_chunks + np.arange(total_new,
+                                                       dtype=np.int64)
+            self._ctable_host[ll, self._list_nchunks[ll] + j] = new_chunks
+            self._chunk_list[new_chunks] = ll
+            self._used_chunks += total_new
+            self._list_nchunks = need_c.astype(np.int32)
+        self._ctable = jax.device_put(jnp.asarray(self._ctable_host))
         order = np.argsort(assign, kind="stable")
         sa = assign[order]
         rank = np.arange(n) - np.searchsorted(sa, sa)
+        pos = self._counts.astype(np.int64)[sa] + rank   # within-list index
         slots = np.empty(n, np.int64)
-        slots[order] = (sa * self.cap
-                        + self._counts.astype(np.int64)[sa] + rank)
+        slots[order] = (self._ctable_host[sa, pos // _CHUNK].astype(np.int64)
+                        * _CHUNK + pos % _CHUNK)
         if isinstance(x, jax.Array):
             rows = x.astype(self._dtype)  # already padded + stored dtype
         elif np.dtype(x.dtype) == np.int8:  # raw codes (io restore)
@@ -622,14 +689,14 @@ class TpuIndexIVFFlat:
                    else np.arange(self.ntotal, self.ntotal + n,
                                   dtype=np.int32))
         self._ids = _scatter_rows(self._ids, jnp.asarray(new_ids), sl)
-        self._counts = pos.astype(np.int32)
+        self._counts = new_counts.astype(np.int32)
         self._counts_dev = jax.device_put(self._counts)
         self._slot_of = np.concatenate([self._slot_of, slots])
         self.ntotal += n
 
     def _assignments(self) -> np.ndarray:
         """(ntotal,) list id of every insertion id (io.save_index)."""
-        return (self._slot_of // self.cap).astype(np.int64)
+        return self._chunk_list[self._slot_of // _CHUNK].astype(np.int64)
 
     def _rows_by_id(self) -> Tuple[np.ndarray, np.ndarray]:
         """Raw stored rows + norms in insertion-id order (io.save_index).
@@ -663,7 +730,7 @@ class TpuIndexIVFFlat:
                 params, np.arange(self.ntotal, dtype=np.int64))
         sel = None
         if mask is not None and not mask.all():
-            s = np.zeros((self.nlist * self.cap,), bool)
+            s = np.zeros((self.npool * _CHUNK,), bool)
             s[self._slot_of[mask]] = True
             sel = jnp.asarray(s)
         # per-query probe-width override (faiss::SearchParametersIVF.nprobe)
@@ -671,18 +738,27 @@ class TpuIndexIVFFlat:
         nprobe = min(req if req is not None else self.nprobe, self.nlist)
         # static chunk budget for the two-level gather (exact worst case
         # over any probe set, from the host counts mirror)
-        nbudget = (_chunk_budget(self._counts, nprobe,
-                                 min(_CHUNK, self.cap)) if self.cap else 1)
-        bytes_per_q = nbudget * min(_CHUNK, self.cap) * self.d_pad * (
-            {jnp.dtype(jnp.float32): 4, jnp.dtype(jnp.bfloat16): 2,
-             jnp.dtype(jnp.int8): 1}[jnp.dtype(self._dtype)])
-        # nprobe == nlist routes to the dense shared sweep (no gather)
-        if nprobe < self.nlist and _QB * bytes_per_q > _GATHER_BUDGET:
-            raise ValueError(
-                f"IVF fine scan would gather {_QB * bytes_per_q >> 20} MB "
-                f"per block (nprobe={nprobe}, chunk budget={nbudget}); "
-                f"lower nprobe")
+        nbudget = (_chunk_budget(self._counts, nprobe, _CHUNK)
+                   if self.npool else 1)
         nq_pad = max(_QB, _round_up(nq, _QB))
+        # working-set gate — per dispatch path (nprobe == nlist routes to
+        # the dense shared sweep: no gather, no gate):
+        #  * Pallas fine scan streams gathered blocks through VMEM and
+        #    materializes ONLY the (nq_pad, ncand) f32 score array;
+        #  * the XLA chunk-take block (non-8-aligned nq_pad) materializes
+        #    (QB, ncand, d_pad) gathered rows per query block.
+        kernel_scan = (self._kind in ("bf16", "int8", "f32")
+                       and nq_pad % 8 == 0)
+        if kernel_scan:
+            footprint = nq_pad * nbudget * _CHUNK * 4
+        else:
+            itemsize = {jnp.dtype(jnp.float32): 4, jnp.dtype(jnp.bfloat16): 2,
+                        jnp.dtype(jnp.int8): 1}[jnp.dtype(self._dtype)]
+            footprint = _QB * nbudget * _CHUNK * self.d_pad * itemsize
+        if nprobe < self.nlist and footprint > _GATHER_BUDGET:
+            raise ValueError(
+                f"IVF fine scan working set would be {footprint >> 20} MB "
+                f"(nprobe={nprobe}, chunk budget={nbudget}); lower nprobe")
         qp = np.zeros((nq_pad, self.d_pad), np.float32)
         qp[:nq, : self.d] = x
         return qp, nq, nq_pad, nprobe, nbudget, sel
@@ -696,19 +772,26 @@ class TpuIndexIVFFlat:
         if self.ntotal == 0:
             return None, nq
         with_sel = sel is not None
-        key = ("ivf_search", self.nlist, self.cap, nprobe, nbudget, nq_pad,
-               int(k), self.d_pad, self.metric, self.storage_type, with_sel)
+        # dense-route sweep width: the quantized used-chunk prefix (pool
+        # doubling headroom never enters the sweep; quantization bounds
+        # compiled-fn churn to a handful of shapes per octave). Gather
+        # routes ignore it — keep it out of their cache key.
+        nsweep = (_round_budget(self._used_chunks) * _CHUNK
+                  if nprobe >= self.nlist else 0)
+        key = ("ivf_search", self.nlist, self.npool, self.maxc, nprobe,
+               nbudget, nsweep, nq_pad, int(k), self.d_pad, self.metric,
+               self.storage_type, with_sel)
         fn = self.res.cached(
             key,
             lambda: _build_ivf_search_fn(
-                nlist=self.nlist, cap=self.cap, nprobe=nprobe,
+                nlist=self.nlist, nprobe=nprobe,
                 nq_pad=nq_pad, k=int(k), d_pad=self.d_pad,
                 metric=self.metric, kind=self._kind, nbudget=nbudget,
-                with_sel=with_sel,
+                nsweep=nsweep, with_sel=with_sel,
                 interpret=not self.res.capabilities.is_tpu))
         out = fn(self._data, self._norms, self._counts_dev, self._ids,
-                 self._cents, self._cnorms, jnp.asarray(qp), sel,
-                 self._scales)
+                 self._ctable, self._cents, self._cnorms, jnp.asarray(qp),
+                 sel, self._scales)
         return out, nq
 
     def search(self, x: np.ndarray, k: int,
@@ -751,8 +834,7 @@ class TpuIndexIVFFlat:
                     np.empty(0, np.int64))
         # range always runs the gather block (no dense shortcut), so the
         # budget gate applies even at nprobe == nlist
-        chunk = min(_CHUNK, self.cap)
-        if _QB * nbudget * chunk * self.d_pad * 4 > _GATHER_BUDGET:
+        if _QB * nbudget * _CHUNK * self.d_pad * 4 > _GATHER_BUDGET:
             raise ValueError(
                 f"IVF range_search would gather too much per block "
                 f"(nprobe={nprobe}, chunk budget={nbudget}); lower nprobe")
@@ -760,19 +842,19 @@ class TpuIndexIVFFlat:
         with_sel = sel is not None
 
         def run(rcap):
-            key = ("ivf_range", self.nlist, self.cap, nprobe, nbudget,
-                   nq_pad, rcap, self.d_pad, self.metric, self.storage_type,
-                   with_sel)
+            key = ("ivf_range", self.nlist, self.npool, self.maxc, nprobe,
+                   nbudget, nq_pad, rcap, self.d_pad, self.metric,
+                   self.storage_type, with_sel)
             fn = self.res.cached(
                 key,
                 lambda: _build_ivf_range_fn(
-                    cap=self.cap, nprobe=nprobe, nq_pad=nq_pad, rcap=rcap,
+                    nprobe=nprobe, nq_pad=nq_pad, rcap=rcap,
                     metric=self.metric, kind=self._kind, nbudget=nbudget,
                     with_sel=with_sel))
             out = fn(self._data, self._norms, self._counts_dev, self._ids,
-                     self._cents, self._cnorms, jnp.asarray(qp), thr, sel,
-                     self._scales)
-            rc = min(rcap, nbudget * min(_CHUNK, self.cap))
+                     self._ctable, self._cents, self._cnorms,
+                     jnp.asarray(qp), thr, sel, self._scales)
+            rc = min(rcap, nbudget * _CHUNK)
             return jax.device_get(out) + (rc,)
 
         return _range_csr(run, nq, self.metric)
@@ -795,16 +877,24 @@ class TpuIndexIVFFlat:
             self.reset()
             return int(ids.size)
         old_slots = self._slot_of[keep]            # survivors, new-id order
-        lists = old_slots // self.cap
+        lists = self._chunk_list[old_slots // _CHUNK].astype(np.int64)
         # new slot: compact each list preserving slot order (== insertion
-        # order within the list)
+        # order within the list — a list's page-table row is ascending by
+        # construction, so pool-slot order IS within-list insertion order)
         order = np.lexsort((old_slots, lists))    # list-major, slot-minor
         sl, so = lists[order], old_slots[order]
         rank = np.arange(keep.size) - np.searchsorted(sl, sl)
-        new_slots_sorted = sl * self.cap + rank
-        perm = np.zeros((self.nlist * self.cap,), np.int64)  # gather index
+        # rebuild the page table compactly: list l owns the consecutive
+        # pool chunks [base[l], base[l] + need_c[l]) — pool capacity kept
+        newcnt = np.bincount(sl, minlength=self.nlist)
+        need_c = -(-newcnt // _CHUNK)
+        base = np.cumsum(need_c) - need_c
+        new_used = int(need_c.sum())
+        new_slots_sorted = ((base[sl] + rank // _CHUNK) * _CHUNK
+                            + rank % _CHUNK)
+        perm = np.zeros((self.npool * _CHUNK,), np.int64)  # gather index
         perm[new_slots_sorted] = so
-        new_ids_flat = np.full((self.nlist * self.cap,), -1, np.int32)
+        new_ids_flat = np.full((self.npool * _CHUNK,), -1, np.int32)
         # survivor at new slot gets its NEW dense id (= rank in keep)
         new_ids_flat[new_slots_sorted] = np.arange(
             keep.size, dtype=np.int64)[order]
@@ -812,7 +902,16 @@ class TpuIndexIVFFlat:
         self._data = _compact_slots(self._data, pj)
         self._norms = _compact_slots(self._norms, pj)
         self._ids = jax.device_put(jnp.asarray(new_ids_flat))
-        self._counts = np.bincount(sl, minlength=self.nlist).astype(np.int32)
+        self._ctable_host[:] = 0
+        ll = np.repeat(np.arange(self.nlist, dtype=np.int64), need_c)
+        jj = np.arange(new_used) - np.repeat(base, need_c)
+        self._ctable_host[ll, jj] = np.arange(new_used)
+        self._ctable = jax.device_put(jnp.asarray(self._ctable_host))
+        self._chunk_list[:] = -1
+        self._chunk_list[:new_used] = ll
+        self._list_nchunks = need_c.astype(np.int32)
+        self._used_chunks = new_used
+        self._counts = newcnt.astype(np.int32)
         self._counts_dev = jax.device_put(self._counts)
         slot_of = np.empty(keep.size, np.int64)
         slot_of[new_ids_flat[new_slots_sorted]] = new_slots_sorted
@@ -822,6 +921,43 @@ class TpuIndexIVFFlat:
 
     def assign(self, x: np.ndarray, k: int = 1) -> np.ndarray:
         return self.search(x, k)[1]
+
+    def merge_from(self, other: "TpuIndexIVFFlat") -> None:
+        """faiss::IndexIVF::merge_from semantics: append ``other``'s vectors
+        to self (ids continue at self.ntotal, insertion order preserved)
+        and empty ``other``. The SAVED coarse assignment transfers — rows
+        keep their routing (bit-exact, like io.load_index), never a fp32
+        re-route through a possibly-different quantizer. Requires matching
+        d/metric/nlist/storage; int8 additionally requires the SAME frozen
+        scale grid (the codes transfer bit-exactly)."""
+        if other is self:
+            raise ValueError("cannot merge an index into itself")
+        if (other.d != self.d or other.metric is not self.metric
+                or other.nlist != self.nlist
+                or other.storage_type is not self.storage_type):
+            raise ValueError(
+                "merge_from: d/metric/nlist/storage mismatch "
+                f"(({self.d}, {self.metric}, {self.nlist}, "
+                f"{self.storage_type}) vs ({other.d}, {other.metric}, "
+                f"{other.nlist}, {other.storage_type}))")
+        if not (self.is_trained and other.is_trained):
+            raise RuntimeError("merge_from requires both indexes trained")
+        if self.storage_type is StorageType.INT8:
+            if not np.array_equal(
+                    np.asarray(jax.device_get(self._scales)),
+                    np.asarray(jax.device_get(other._scales))):
+                raise ValueError(
+                    "merge_from: int8 scale grids differ — codes are not "
+                    "bit-compatible (re-add through float instead)")
+        if other.ntotal:
+            vec, nrm = other._rows_by_id()
+            assign = other._assignments()
+            if vec.dtype == np.uint16:  # bf16 bit patterns -> exact f32
+                import ml_dtypes
+
+                vec = np.asarray(vec.view(ml_dtypes.bfloat16), np.float32)
+            self._add_preassigned(vec, np.asarray(nrm, np.float32), assign)
+        other.reset()
 
     # -- misc -----------------------------------------------------------------
     def reconstruct(self, key: int) -> np.ndarray:
@@ -842,8 +978,14 @@ class TpuIndexIVFFlat:
         """Drop the vectors, keep the trained quantizer and (int8) the
         frozen scales (faiss reset: is_trained persists)."""
         self.ntotal = 0
-        self.cap = 0
+        self.npool = 0
+        self.maxc = 0
+        self._used_chunks = 0
         self._data = self._norms = self._ids = None
+        self._ctable_host = np.zeros((self.nlist, 0), np.int32)
+        self._ctable = None
+        self._chunk_list = np.empty(0, np.int32)
+        self._list_nchunks = np.zeros(self.nlist, np.int32)
         self._counts = np.zeros(self.nlist, np.int32)
         self._counts_dev = None
         self._slot_of = np.empty(0, np.int64)
@@ -855,8 +997,10 @@ class TpuIndexIVFFlat:
         return self._counts.copy()
 
     def describe(self) -> str:
-        load = (self._counts.sum() / (self.nlist * self.cap)
-                if self.cap else 0.0)
+        # load = live rows per OCCUPIED pool slot (HBM the pool actually
+        # allocated to lists; ≈ 1 - half-chunk waste per non-empty list)
+        load = (self._counts.sum() / (self._used_chunks * _CHUNK)
+                if self._used_chunks else 0.0)
         int8_note = ""
         if self.storage_type is StorageType.INT8:
             frac = (float(jax.device_get(self._int8_clipped))
@@ -868,5 +1012,6 @@ class TpuIndexIVFFlat:
             f"TpuIndexIVFFlat(d={self.d}, nlist={self.nlist}, "
             f"nprobe={self.nprobe}, metric={self.metric.value}, "
             f"storage={self.storage_type.value}, ntotal={self.ntotal}, "
-            f"cap/list={self.cap}, bucket_load={load:.2f}, "
+            f"pool={self._used_chunks}/{self.npool}x{_CHUNK}, "
+            f"bucket_load={load:.2f}, "
             f"trained={self.is_trained}{int8_note})")

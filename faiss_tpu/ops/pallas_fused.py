@@ -1016,7 +1016,11 @@ def _rescore_dots(q0, q1, q2, v, clean=False):
       bf16 rows: 3 exact-product passes;
       int8 rows: decode to bf16 in-register (ints ≤ 127 are bf16-EXACT);
       int16 rows (f16 bits): decode to the exact (hi, lo) bf16 pair and
-        run 6 passes — all products exact, same fp32-true class."""
+        run 6 passes — all products exact, same fp32-true class;
+      f32 rows (IVF fine scan): EXACT in-register 3-way split (the same
+        bit-mask split the pair sweep kernels use) and 9 passes — every
+        product exact in f32, so scores are fp32-true to the stored rows
+        (never Precision.HIGHEST in a Pallas kernel — CLAUDE.md)."""
     dn = (((1,), (1,)), ((), ()))
 
     def dots3(vv):
@@ -1033,6 +1037,11 @@ def _rescore_dots(q0, q1, q2, v, clean=False):
 
         vh, vl = (split_f16_bits_clean if clean else split_f16_bits)(v)
         return dots3(vh) + dots3(vl)
+    if v.dtype == jnp.float32:
+        from ..storage import split3_f32_bf16
+
+        vh, vm, vl = split3_f32_bf16(v)
+        return dots3(vh) + dots3(vm) + dots3(vl)
     if v.dtype != jnp.bfloat16:
         v = v.astype(jnp.bfloat16)
     return dots3(v)
@@ -1670,6 +1679,13 @@ def fused_search(
     offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, GROUP), 2)
     cols = (gidx[:, :, None] * GROUP + offs).reshape(nq_pad, kg * GROUP)
     t2 = None  # fp32 two-stage sets the tier-2 certificate threshold
+    # selector re-mask is needed only where the rescore ran WITHOUT the
+    # pre-masked vn stream (XLA variants gathering raw norms). The Pallas
+    # rescores already emit -inf on filtered rows; re-masking them through
+    # jnp.take(sel, cols) cost ~1.5 ms at 1M x 128 (XLA's element gather
+    # runs at 2-13 GB/s on TPU, measurements_r4/r4b.log: bf16 filtered
+    # 2.04 ms vs 0.545 unfiltered — the whole cliff was this one line).
+    sel_remask = sel is not None
     if pair_only:
         # pair-only HBM (f32 keep_master=False ONLY — since the 2 B/elem
         # bit-pattern mode landed, f16 takes the int16 branch below):
@@ -1708,13 +1724,15 @@ def fused_search(
             metric=metric, nv_eff=nv_eff, interpret=interpret,
             ranks_per_step=RESCORE_RANKS, sel=sel,
         )
+        sel_remask = False  # kernel rescore pre-masked via the vn stream
     elif db.dtype in (jnp.bfloat16, jnp.int16):
         # bf16 rows (and f16-bits rows, decoded in-register): the
         # scalar-prefetch Pallas kernel pipelines the group gather as
         # contiguous block DMAs and rescores in-kernel with an exact 3-way
         # query split (fp32-true; all products exact in fp32).
+        use_take = rescore_take and db.dtype == jnp.bfloat16
         rescore = rescore_groups_take \
-            if (rescore_take and db.dtype == jnp.bfloat16) else \
+            if use_take else \
             functools.partial(rescore_groups_pallas,
                               ranks_per_step=RESCORE_RANKS,
                               f16_clean=f16_clean, sel=sel)
@@ -1722,6 +1740,8 @@ def fused_search(
             queries_f32, db, db_norms, gidx, ntotal,
             metric=metric, nv_eff=nv_eff, interpret=interpret,
         )
+        if not use_take:
+            sel_remask = False  # kernel rescore pre-masked via vn stream
     elif (db_split is not None and F32_TWO_STAGE
           and nq_pad % STRIPE == 0
           and k_eff + F32_CAND_PAD < kg * GROUP):
@@ -1808,10 +1828,12 @@ def fused_search(
         else:
             s = dots
     ok_cols = cols < ntotal
-    if sel is not None:
-        # XLA rescore variants gather RAW norms, so the selector must also
-        # ride the final candidate mask (the kernel rescores already mask
-        # via the pre-folded vn stream — this re-mask is then redundant)
+    if sel_remask:
+        # XLA rescore variants gather RAW rows/norms, so the selector must
+        # ride the final candidate mask. On the f32 two-stage path cols is
+        # the m-wide stage-3b set (a filtered row can reach it only when
+        # sel leaves < m live candidates — stage 3a scored it -inf but the
+        # raw HIGHEST re-dot would resurrect it), so the take is tiny.
         ok_cols &= jnp.take(sel, cols, axis=0)
     s = jnp.where(ok_cols, s, NEG_INF)
     if (FINAL_SELECT_ENABLE and k_eff <= SELECT_MAX_KG

@@ -2,9 +2,10 @@
 
 Architecture (the IVF analog of parallel/sharded.py):
   * the coarse quantizer's CENTROIDS are replicated on every chip; the
-    VECTORS are distributed — each shard is a full TpuIndexIVFFlat bucket
-    tensor (all nlist lists, padded to a shared per-list cap) holding its
-    ~1/P of the rows, with GLOBAL insertion ids in the device id column;
+    VECTORS are distributed — each shard is a full TpuIndexIVFFlat
+    chunk-paged pool + page table (all nlist lists; shapes equalized at
+    assembly) holding its ~1/P of the rows, with GLOBAL insertion ids in
+    the device id column;
   * ``add`` splits each batch contiguously across shards (balanced ±1) and
     routes ONCE through the shared quantizer — every shard keeps the same
     list semantics, so the union of per-shard probes of the same nprobe
@@ -48,29 +49,30 @@ from ..index import TpuSearchToken
 AXIS = TpuResources.SHARD_AXIS
 
 
-def _build_sharded_ivf_search_fn(*, mesh, nlist: int, cap: int, nprobe: int,
+def _build_sharded_ivf_search_fn(*, mesh, nlist: int, nprobe: int,
                                  nq_pad: int, k: int, d_pad: int,
                                  metric: MetricType, kind: str, nbudget: int,
                                  with_sel: bool = False,
                                  interpret: bool = False):
     """One shard_map program: replicated probe, local fine scan, ICI merge.
 
-    fn(data (P·nlist·cap, d_pad), norms, ids (P·nlist·cap,) i32 GLOBAL,
-    counts (P·nlist,) i32, cents (nlist_pad, d_pad) replicated, cnorms,
-    q (nq_pad, d_pad) replicated [, sel (P·nlist·cap,)] [, scales (d_pad,)])
+    fn(data (P·npool·128, d_pad), norms, ids (P·npool·128,) i32 GLOBAL,
+    counts (P·nlist,) i32, ctable (P·nlist, maxc) i32 — per-shard page
+    tables, cents (nlist_pad, d_pad) replicated, cnorms, q (nq_pad, d_pad)
+    replicated [, sel (P·npool·128,)] [, scales (d_pad,)])
     -> (dists (nq_pad, k) f32, glabels (nq_pad, k) i32) replicated."""
-    chunk = min(_CHUNK, cap)
+    chunk = _CHUNK
     ncand = nbudget * chunk
     k_loc = min(k, ncand)
     nblocks = nq_pad // _QB
-    use_kernel = (kind in ("bf16", "int8") and chunk == _CHUNK
-                  and cap % chunk == 0 and nq_pad % 8 == 0)
+    use_kernel = kind in ("bf16", "int8", "f32") and nq_pad % 8 == 0
     if not use_kernel:
-        scores_blk = _probed_scores(cap=cap, nprobe=nprobe, metric=metric,
+        scores_blk = _probed_scores(nprobe=nprobe, metric=metric,
                                     kind=kind, with_sel=with_sel,
                                     nbudget=nbudget)
 
-    def per_device(data, norms, ids, counts, cents, cnorms, q, *extra):
+    def per_device(data, norms, ids, counts, ctable, cents, cnorms, q,
+                   *extra):
         sel = extra[0] if with_sel else None
         scales = extra[-1] if kind == "int8" else None
         # coarse probe: identical on every shard (replicated centroids) —
@@ -88,7 +90,7 @@ def _build_sharded_ivf_search_fn(*, mesh, nlist: int, cap: int, nprobe: int,
             from ..ops.pallas_fused import (RESCORE_RANKS,
                                             rescore_groups_pallas)
 
-            cidx, okc = _chunk_ids(probe, counts, cap, chunk, nbudget,
+            cidx, okc = _chunk_ids(probe, counts, ctable, chunk, nbudget,
                                    nprobe)
             occ = ids >= 0
             sel_eff = occ if sel is None else occ & sel
@@ -109,8 +111,8 @@ def _build_sharded_ivf_search_fn(*, mesh, nlist: int, cap: int, nprobe: int,
                 v = v - qn[:, None]   # restore the rank-invariant −‖q‖²
         else:
             def block(b):
-                s, cid = scores_blk(data, norms, counts, ids, sel, q, qeff,
-                                    qn, probe, b)
+                s, cid = scores_blk(data, norms, counts, ids, ctable, sel,
+                                    q, qeff, qn, probe, b)
                 vb, i = jax.lax.top_k(s, k_loc)
                 return vb, jnp.take_along_axis(cid, i, axis=-1)
 
@@ -142,8 +144,8 @@ def _build_sharded_ivf_search_fn(*, mesh, nlist: int, cap: int, nprobe: int,
                 tg, jnp.full((nq_pad, k - k_out), -1, jnp.int32)], axis=-1)
         return dists, tg
 
-    in_specs = [P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(None), P(None),
-                P(None)]
+    in_specs = [P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(None),
+                P(None), P(None)]
     if with_sel:
         in_specs.append(P(AXIS))
     if kind == "int8":
@@ -285,14 +287,18 @@ class ShardedIndexIVFFlat:
 
     # -- assembly ---------------------------------------------------------------
     def _assemble(self):
-        """Equalize per-shard caps, then stack the per-shard bucket tensors
-        into global arrays sharded over the mesh (cached until mutation)."""
+        """Equalize per-shard pool/page-table shapes, then stack the
+        per-shard tensors into global arrays sharded over the mesh
+        (cached until mutation)."""
         if self._assembled is not None:
             return self._assembled
-        cap = max(max((s.cap for s in self.shards), default=0), 1)
+        # pools are _POOL0·2^k and table widths 2^j, so the per-shard
+        # doubling in _ensure_pool lands exactly on the max
+        npool = max(max((s.npool for s in self.shards), default=0), 1)
+        maxc = max(max((s.maxc for s in self.shards), default=0), 1)
         for s in self.shards:
-            # caps are _CAP0·2^k, so _ensure_cap lands exactly on the max
-            s._ensure_cap(np.full(self.nlist, cap, np.int64))
+            s._ensure_pool(npool, maxc)
+            s._ctable = jax.device_put(jnp.asarray(s._ctable_host))
             if s._counts_dev is None:
                 s._counts_dev = jax.device_put(s._counts)
 
@@ -308,6 +314,7 @@ class ShardedIndexIVFFlat:
         norms = global_arr([s._norms for s in self.shards], ())
         ids = global_arr([s._ids for s in self.shards], ())
         counts = global_arr([jnp.asarray(s._counts) for s in self.shards], ())
+        ctable = global_arr([s._ctable for s in self.shards], (maxc,))
         cents = jax.device_put(
             self.shards[0]._cents, NamedSharding(self.mesh, P(None, None)))
         cnorms = jax.device_put(
@@ -316,8 +323,8 @@ class ShardedIndexIVFFlat:
         if self.storage_type is StorageType.INT8:
             scales = jax.device_put(
                 self.shards[0]._scales, NamedSharding(self.mesh, P(None)))
-        self._assembled = (data, norms, ids, counts, cents, cnorms, scales,
-                           cap)
+        self._assembled = (data, norms, ids, counts, ctable, cents, cnorms,
+                           scales, npool, maxc)
         return self._assembled
 
     # -- search -----------------------------------------------------------------
@@ -343,12 +350,12 @@ class ShardedIndexIVFFlat:
         qp[:nq, : self.d] = x
         return qp, nq, nq_pad, nprobe, mask
 
-    def _sel_stream(self, mask, cap):
+    def _sel_stream(self, mask, npool):
         """Global admit mask -> per-shard SLOT-indexed bool stream, stacked
-        over shards (each shard sees its local (nlist·cap,) slice)."""
+        over shards (each shard sees its local (npool·128,) slice)."""
         if mask is None or mask.all():
             return None
-        s = np.zeros((self.num_shards, self.nlist * cap), bool)
+        s = np.zeros((self.num_shards, npool * _CHUNK), bool)
         gids = np.nonzero(mask)[0]
         for i, sh in enumerate(self.shards):
             loc = self._id_local[gids[self._id_shard[gids] == i]]
@@ -362,34 +369,34 @@ class ShardedIndexIVFFlat:
         qp, nq, nq_pad, nprobe, mask = self._prep(x, params)
         if self.ntotal == 0:
             return None, nq
-        data, norms, ids, counts, cents, cnorms, scales, cap = \
-            self._assemble()
-        itemsize = {StorageType.FLOAT32: 4, StorageType.BFLOAT16: 2,
-                    StorageType.INT8: 1}[self.storage_type]
+        data, norms, ids, counts, ctable, cents, cnorms, scales, npool, \
+            maxc = self._assemble()
         # one static budget for the shard_map program: the worst shard's
-        # exact chunk budget (per-shard counts differ)
-        nbudget = max(_chunk_budget(s._counts, nprobe, min(_CHUNK, cap))
+        # exact chunk budget (per-shard counts differ). The Pallas fine
+        # scan streams gathered blocks through VMEM — the per-shard
+        # working set is the (nq_pad, ncand) f32 score array.
+        nbudget = max(_chunk_budget(s._counts, nprobe, _CHUNK)
                       for s in self.shards)
-        if (_QB * nbudget * min(_CHUNK, cap) * self.d_pad * itemsize
-                > _GATHER_BUDGET):
+        if nq_pad * nbudget * _CHUNK * 4 > _GATHER_BUDGET:
             raise ValueError(
-                f"IVF fine scan would gather too much per block "
+                f"IVF fine scan working set would be "
+                f"{(nq_pad * nbudget * _CHUNK * 4) >> 20} MB per shard "
                 f"(nprobe={nprobe}, chunk budget={nbudget}); lower nprobe")
-        sel = self._sel_stream(mask, cap)
+        sel = self._sel_stream(mask, npool)
         with_sel = sel is not None
-        key = ("sharded_ivf", self.num_shards, self.nlist, cap, nprobe,
-               nbudget, nq_pad, int(k), self.d_pad, self.metric,
+        key = ("sharded_ivf", self.num_shards, self.nlist, npool, maxc,
+               nprobe, nbudget, nq_pad, int(k), self.d_pad, self.metric,
                self.storage_type, with_sel)
         fn = self.res.cached(
             key,
             lambda: _build_sharded_ivf_search_fn(
-                mesh=self.mesh, nlist=self.nlist, cap=cap, nprobe=nprobe,
+                mesh=self.mesh, nlist=self.nlist, nprobe=nprobe,
                 nq_pad=nq_pad, k=int(k), d_pad=self.d_pad,
                 metric=self.metric, nbudget=nbudget,
                 kind=self.shards[0]._kind, with_sel=with_sel,
                 interpret=not self.res.capabilities.is_tpu))
         q = jax.device_put(qp, NamedSharding(self.mesh, P(None, None)))
-        args = (data, norms, ids, counts, cents, cnorms, q)
+        args = (data, norms, ids, counts, ctable, cents, cnorms, q)
         if with_sel:
             args = args + (sel,)
         if self.storage_type is StorageType.INT8:
@@ -422,10 +429,10 @@ class ShardedIndexIVFFlat:
 
     def describe(self) -> str:
         per = [s.ntotal for s in self.shards]
-        caps = [s.cap for s in self.shards]
+        pools = [f"{s._used_chunks}/{s.npool}" for s in self.shards]
         return (
             f"ShardedIndexIVFFlat(d={self.d}, nlist={self.nlist}, "
             f"nprobe={self.nprobe}, metric={self.metric.value}, "
             f"storage={self.storage_type.value}, ntotal={self.ntotal}, "
-            f"shards={self.num_shards}, per_shard={per}, cap/list={caps}, "
+            f"shards={self.num_shards}, per_shard={per}, pool={pools}, "
             f"trained={self.is_trained})")

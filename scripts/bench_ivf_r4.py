@@ -125,23 +125,28 @@ def main():
         print(f"[{data_kind}] f64 oracle ({time.time()-t0:.0f}s)", flush=True)
 
         for storage in STORAGES:
-            # flat baseline
-            t0 = time.time()
-            flat = faiss_tpu.TpuIndexFlat(D, storage=storage)
-            for i0 in range(0, NV, ADD_BATCH):
-                flat.add(xb[i0:i0 + ADD_BATCH])
-            print(f"[{data_kind}/{storage}] flat add ({time.time()-t0:.0f}s)",
-                  flush=True)
-            If = flat.search_async(xq, K).wait()[1]
-            rf = recall_at_k(If, oracle)
-            qps_flat = pipelined_qps(flat.search_async, xq, NQ)
-            qps_flat8 = pipelined_qps(flat.search_async, xq8, 8)
-            print(json.dumps({
-                "config": f"{data_kind}/{storage}/flat", "nv": NV,
-                "recall@10": round(rf, 4),
-                "qps_nq104": round(qps_flat, 1),
-                "qps_nq8": round(qps_flat8, 1)}), flush=True)
-            del flat
+            if os.environ.get("FT_SKIP_FLAT"):
+                # flat already measured elsewhere (e.g. the 50M r3q2 run);
+                # ratios then come from that record, not this process
+                If, qps_flat, qps_flat8 = None, 1.0, 1.0
+            else:
+                # flat baseline
+                t0 = time.time()
+                flat = faiss_tpu.TpuIndexFlat(D, storage=storage)
+                for i0 in range(0, NV, ADD_BATCH):
+                    flat.add(xb[i0:i0 + ADD_BATCH])
+                print(f"[{data_kind}/{storage}] flat add "
+                      f"({time.time()-t0:.0f}s)", flush=True)
+                If = flat.search_async(xq, K).wait()[1]
+                rf = recall_at_k(If, oracle)
+                qps_flat = pipelined_qps(flat.search_async, xq, NQ)
+                qps_flat8 = pipelined_qps(flat.search_async, xq8, 8)
+                print(json.dumps({
+                    "config": f"{data_kind}/{storage}/flat", "nv": NV,
+                    "recall@10": round(rf, 4),
+                    "qps_nq104": round(qps_flat, 1),
+                    "qps_nq8": round(qps_flat8, 1)}), flush=True)
+                del flat
 
             for nlist in NLISTS:
                 t0 = time.time()
@@ -169,9 +174,10 @@ def main():
                         print(f"  nprobe={nprobe}: {e}", flush=True)
                         break
                     r = recall_at_k(Ii, oracle)
-                    r_flat = recall_at_k(Ii, If)  # routing recall: vs the
-                    # flat index's own results (isolates probe recall from
-                    # storage quantization, which caps the oracle recall)
+                    # routing recall: vs the flat index's own results
+                    # (isolates probe recall from storage quantization,
+                    # which caps the oracle recall)
+                    r_flat = recall_at_k(Ii, If) if If is not None else -1.0
                     qps = pipelined_qps(
                         lambda q, k: ivf.search_async(q, k, params=params),
                         xq, NQ)
@@ -187,9 +193,10 @@ def main():
                         "qps_nq8": round(qps8, 1),
                         "vs_flat_nq104": round(qps / qps_flat, 2),
                         "vs_flat_nq8": round(qps8 / qps_flat8, 2),
-                        "cap": ivf.cap,
+                        "pool_chunks": int(ivf._used_chunks),
                         "load": round(float(ivf.list_sizes().sum())
-                                      / (nlist * ivf.cap), 3)}), flush=True)
+                                      / max(ivf._used_chunks * 128, 1), 3)}),
+                        flush=True)
                 del ivf
 
 

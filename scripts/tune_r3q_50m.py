@@ -58,14 +58,18 @@ def main():
           f"{NV_TOTAL / add_s / 1e6:.2f}M rows/s", flush=True)
 
     # warmup + blocking latency
+    t0 = time.perf_counter()
     for _ in range(2):
         idx.search(xq, K)
+    print(f"warmup (first compile): {time.perf_counter() - t0:.0f}s",
+          flush=True)
     lats = []
     for _ in range(3):
         t0 = time.perf_counter()
         D_out, I_out = idx.search(xq, K)
         lats.append(time.perf_counter() - t0)
     lat_ms = min(lats) * 1e3
+    print(f"blocking lat: {lat_ms:.1f} ms", flush=True)
 
     # pipelined throughput (depth-96 thread pool, best of 3 blocks)
     import concurrent.futures as cf
@@ -79,6 +83,8 @@ def main():
                 f.result()
         pipe = min(pipe, (time.perf_counter() - t0) / n_total)
     qps = NQ / pipe
+    print(f"pipelined: {pipe * 1e3:.2f} ms/batch = {qps:.0f} QPS; "
+          f"starting host f64 oracle (~20-40 min single-core)", flush=True)
 
     # chunked float64 oracle vs the ORIGINAL integer data: running top-K
     # merge over 1M-row chunks (full matrix would be 40 GB)

@@ -112,3 +112,55 @@ assert ((Im - 7) % 3 == 0).all()
 assert (Im[:, 0] == d2i[:, :10_000].argmin(1) * 3 + 7).all()
 print("idmap OK (custom-id translation, top-1 exact)")
 print("VERIFY DRIVE COMPLETE")
+# IVF-Flat on the chunk-paged pool layout (r4): skewed mixture, Pallas
+# gather fine scan, selector, merge_from, save/load, async tokens, and the
+# chunked+pipelined bulk assign — the whole new surface on the real chip
+ncomp = 64
+cents = (8.0 * rng.standard_normal((ncomp, 128))).astype(np.float32)
+comp = rng.integers(0, ncomp, 60_000)
+xm = (cents[comp] + rng.standard_normal((60_000, 128))).astype(np.float32)
+qm = (cents[rng.integers(0, ncomp, 16)]
+      + rng.standard_normal((16, 128))).astype(np.float32)
+ivf = faiss_tpu.TpuIndexIVFFlat(128, 64, nprobe=8, storage="bf16",
+                                train_niter=8, seed=11)
+ivf.train(xm[:20_000])
+ivf.add(xm[:40_000])
+ivf2 = faiss_tpu.TpuIndexIVFFlat(128, 64, nprobe=8, storage="bf16", seed=11)
+ivf2.quantizer = None
+ivf2._set_centroids(
+    np.stack([ivf.quantizer.reconstruct(j) for j in range(64)]),
+    quantizer=ivf.quantizer)
+ivf2.add(xm[40_000:])
+ivf.merge_from(ivf2)
+assert ivf.ntotal == 60_000 and ivf2.ntotal == 0
+tok = ivf.search_async(qm, 10)
+Dv, Iv = tok.wait()
+# numpy IVF oracle probing the SAME lists (bulk assign rides the chunked
+# async path: 60k queries against the 64-centroid quantizer)
+assign_all = ivf.quantizer.assign(xm).ravel()
+cq = ((qm.astype(np.float64)[:, None]
+       - np.stack([ivf.quantizer.reconstruct(j)
+                   for j in range(64)])[None]) ** 2).sum(-1)
+probe = np.argsort(cq, axis=1)[:, :8]
+hits = 0
+for qi in range(16):
+    cand = np.nonzero(np.isin(assign_all, probe[qi]))[0]
+    dd = ((qm[qi].astype(np.float64) - xm[cand].astype(np.float64))**2).sum(-1)
+    want = set(cand[np.argsort(dd)[:10]].tolist())
+    hits += len(want & set(Iv[qi].tolist()))
+assert hits >= 150, hits  # bf16 near-ties may swap a rank or two
+print("ivf OK (merged, async, paged pool):", ivf.describe(), "hits", hits)
+selp2 = faiss_tpu.SearchParams(faiss_tpu.IDSelectorRange(0, 30_000),
+                               nprobe=64)
+Dvs, Ivs = ivf.search(qm, 10, params=selp2)
+assert ((Ivs >= 0) & (Ivs < 30_000)).all()
+import tempfile, os as _os
+with tempfile.TemporaryDirectory() as td:
+    pth = _os.path.join(td, "ivf.npz")
+    faiss_tpu.save_index(ivf, pth)
+    ivf3 = faiss_tpu.load_index(pth)
+    Dv3, Iv3 = ivf3.search(qm, 10)
+    np.testing.assert_array_equal(Iv, Iv3)
+    np.testing.assert_array_equal(Dv, Dv3)
+print("ivf selector + save/load OK (reload bit-exact)")
+print("VERIFY DRIVE COMPLETE (ivf)")

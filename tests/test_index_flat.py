@@ -300,3 +300,20 @@ def test_ntotal_dev_tracks_mutation():
     assert int(idx.store.ntotal_dev) == 107
     idx.reset()
     assert int(idx.store.ntotal_dev) == 0
+
+
+def test_assign_chunks_huge_batches():
+    """Bulk assign (the IVF add path) must chunk on the host: one 1M-query
+    search against a 4096-row table materialized a 16 GB score matrix and
+    OOMed the chip (measurements_r4/ivf1m_v2.log). Chunks are enqueued
+    async (pipelined through a remote link) and concatenate in order."""
+    rng = np.random.default_rng(33)
+    xb = rng.standard_normal((2048, 16)).astype(np.float32)
+    idx = faiss_tpu.TpuIndexFlat(16)
+    idx.add(xb)
+    xq = rng.standard_normal((40_000, 16)).astype(np.float32)
+    a = idx.assign(xq).ravel()
+    qn = (xq ** 2).sum(1)[:, None]
+    sc = qn - 2.0 * xq @ xb.T + (xb ** 2).sum(1)[None, :]
+    # fp32-vs-f64 near-ties can flip argmin on a handful of rows
+    assert (a == sc.argmin(1)).mean() > 0.999

@@ -122,3 +122,36 @@ def test_ivf_roundtrip(tmp_path):
     with pytest.raises(ValueError):
         faiss_tpu.save_index(faiss_tpu.TpuIndexIVFFlat(16, 4),
                              os.path.join(tmp_path, "bad.npz"))
+
+
+def test_sharded_ivf_roundtrip(tmp_path):
+    """ShardedIndexIVFFlat save -> load (both single-device and sharded):
+    global ids, routing, and bits transfer exactly — results match the
+    source index on integer data (r4: closes the io.py:161 hard error)."""
+    from faiss_tpu import ShardedIndexIVFFlat
+
+    rng = np.random.default_rng(71)
+    xb = rng.integers(0, 32, (3000, 16)).astype(np.float32)
+    xq = rng.integers(0, 32, (5, 16)).astype(np.float32)
+    for storage in ("bf16", "int8"):
+        sh = ShardedIndexIVFFlat(16, 8, nprobe=8, storage=storage,
+                                 num_shards=2, seed=5)
+        sh.train(xb)
+        sh.add(xb)
+        D1, I1 = sh.search(xq, 6)
+        p = os.path.join(tmp_path, f"sivf_{storage}.npz")
+        faiss_tpu.save_index(sh, p)
+        # reload sharded: shard-count may differ from the saved index
+        sh2 = faiss_tpu.load_index(p, sharded=True)
+        assert isinstance(sh2, ShardedIndexIVFFlat)
+        assert sh2.ntotal == 3000
+        D2, I2 = sh2.search(xq, 6)
+        np.testing.assert_array_equal(I1, I2)
+        np.testing.assert_array_equal(D1, D2)
+        # reload single-device: same results again
+        one = faiss_tpu.load_index(p)
+        assert isinstance(one, faiss_tpu.TpuIndexIVFFlat)
+        D3, I3 = one.search(xq, 6)
+        np.testing.assert_array_equal(I1, I3)
+        np.testing.assert_allclose(one.reconstruct(2999),
+                                   sh.reconstruct(2999))

@@ -461,7 +461,7 @@ def test_chunked_gather_on_skewed_lists():
         want = set(refI[qi][refI[qi] >= 0].tolist())
         assert got == want, qi
     # budget arithmetic: worst probe set, quantized <= 25% slack
-    chunk = min(_CHUNK, ix.cap)
+    chunk = _CHUNK
     ccnt = -(-sizes // chunk)
     exact = int(np.sort(ccnt)[-3:].sum())
     b = _chunk_budget(sizes, 3, chunk)
@@ -489,3 +489,50 @@ def test_idmap_ivf_async():
     D1, I1 = im.search_async(xq, 5).wait()
     np.testing.assert_array_equal(I0, I1)
     assert ((I0 - 500) % 3 == 0).all()
+
+
+@pytest.mark.parametrize("storage", ["f32", "bf16", "int8"])
+def test_merge_from(storage):
+    """IVF merge_from: the merged index equals one built by the same add
+    sequence (faiss::IndexIVF::merge_from; routing transfers bit-exactly —
+    no fp32 re-assignment), and the source is emptied."""
+    xb, xq = int_data(3000, 6, 16, seed=61)
+    a = TpuIndexIVFFlat(16, 8, nprobe=8, storage=storage, seed=3)
+    a.train(xb)
+    a.add(xb[:1800])
+    b = TpuIndexIVFFlat(16, 8, nprobe=8, storage=storage, seed=3)
+    b.quantizer = None
+    if storage == "int8":
+        b._scales = a._scales
+    b._set_centroids(
+        np.stack([a.quantizer.reconstruct(j) for j in range(8)]),
+        quantizer=a.quantizer)
+    b.add(xb[1800:])
+    a.merge_from(b)
+    assert a.ntotal == 3000 and b.ntotal == 0
+    one = TpuIndexIVFFlat(16, 8, nprobe=8, storage=storage, seed=3)
+    one.quantizer = None
+    if storage == "int8":
+        one._scales = a._scales
+    one._set_centroids(
+        np.stack([a.quantizer.reconstruct(j) for j in range(8)]),
+        quantizer=a.quantizer)
+    one.add(xb)
+    Dm, Im = a.search(xq, 7)
+    Do, Io = one.search(xq, 7)
+    np.testing.assert_array_equal(Im, Io)
+    np.testing.assert_array_equal(Dm, Do)
+    # reconstruct survives the merge (id order = insertion order)
+    np.testing.assert_allclose(a.reconstruct(2999), one.reconstruct(2999))
+
+
+def test_merge_from_mismatch_raises():
+    xb, _ = int_data(200, 2, 16, seed=62)
+    a = TpuIndexIVFFlat(16, 4, seed=3)
+    a.train(xb)
+    b = TpuIndexIVFFlat(16, 8, seed=3)  # different nlist
+    b.train(xb)
+    with pytest.raises(ValueError):
+        a.merge_from(b)
+    with pytest.raises(ValueError):
+        a.merge_from(a)
