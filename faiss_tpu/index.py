@@ -351,6 +351,31 @@ class TpuSearchToken:
             return False
 
 
+class ConcatSearchToken:
+    """Async handle over several row-chunk tokens of ONE logical search
+    (IVF splits oversized query batches so the fine scan's per-dispatch
+    score array stays under the gather budget — ADVICE r4). wait()
+    concatenates the chunk results in query order; all chunks are already
+    enqueued, so they pipeline on device like independent tokens."""
+
+    def __init__(self, toks):
+        self._toks = toks
+        self._result = None
+
+    def wait(self) -> Tuple[np.ndarray, np.ndarray]:
+        if self._result is None:
+            parts = [t.wait() for t in self._toks]
+            self._result = (
+                np.concatenate([p[0] for p in parts], axis=0),
+                np.concatenate([p[1] for p in parts], axis=0))
+            self._toks = None
+        return self._result
+
+    def is_ready(self) -> bool:
+        return self._result is not None or all(
+            t.is_ready() for t in self._toks)
+
+
 def make_selective_fallback(index, queries: np.ndarray, nq: int, k: int, *,
                             pad_unit: int, pin_key: int, reduced: bool,
                             to_device=None, sel=None):
@@ -734,24 +759,40 @@ class TpuIndexFlat:
         """Labels-only search (faiss::Index::assign — the reference inherits
         it from the faiss base, MetalIndexFlat.h:47). Returns (nq, k) i64.
 
-        Chunks huge query batches on the host: assign() is the bulk path
-        (IVF add routes every row through the coarse quantizer), and one
-        1M-query search against a 4096-row centroid table would materialize
-        a 16 GB score matrix on the plain path (measured OOM,
-        measurements_r4/ivf1m_v2.log)."""
+        Chunks huge query batches on the host: assign() is the bulk path,
+        and one 1M-query search against a 4096-row centroid table would
+        materialize a 16 GB score matrix in the plain path's single block
+        (measured OOM, measurements_r4/ivf1m_v2.log). Chunks are sized by
+        what a search dispatch actually keeps live PER QUERY (ADVICE r4 —
+        sizing on the full (nq, nv) matrix floored big-index assigns to
+        8-query sweeps of the whole database): one (nq, nv_eff) block when
+        nv_eff fits a single chunk, else the larger of a streamed
+        (nq, chunk_v) score block and the fused sweep's (nq, nv_eff/128)
+        group maxes. In-flight tokens are bounded — each pending token pins
+        its padded query buffer on device."""
         x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, self.d)
         nv_eff = max(_round_up(max(self.ntotal, 1), ROW_TILE), ROW_TILE)
-        budget = 256 << 20  # bytes of (nq_chunk, nv_eff) f32 scores
-        nq_chunk = max(NQ_PAD, (budget // (nv_eff * 4)) // NQ_PAD * NQ_PAD)
+        budget = 256 << 20  # bytes of live f32 scores per enqueued chunk
+        per_q = 4 * (nv_eff if nv_eff <= self.tuning.chunk_v
+                     else max(self.tuning.chunk_v, nv_eff // 128))
+        nq_chunk = max(NQ_PAD, (budget // per_q) // NQ_PAD * NQ_PAD)
         if len(x) <= nq_chunk:
             return self.search(x, k)[1]
-        # enqueue every chunk before waiting any: through a high-latency
-        # link the dispatches pipeline instead of paying a blocking round
-        # trip per chunk (a 1M-row assign against nlist=8192 is ~123
-        # chunks — sequential blocking searches would be minutes)
-        toks = [self.search_async(x[i0:i0 + nq_chunk], k)
-                for i0 in range(0, len(x), nq_chunk)]
-        return np.concatenate([t.wait()[1] for t in toks], axis=0)
+        # enqueue chunks ahead of the waits (through a high-latency link the
+        # dispatches pipeline instead of paying a blocking round trip per
+        # chunk), but keep at most MAX_INFLIGHT enqueued: wait() pops the
+        # oldest while newer chunks still cover the link latency
+        MAX_INFLIGHT = 32
+        from collections import deque
+
+        toks: deque = deque()
+        out = []
+        for i0 in range(0, len(x), nq_chunk):
+            if len(toks) >= MAX_INFLIGHT:
+                out.append(toks.popleft().wait()[1])
+            toks.append(self.search_async(x[i0:i0 + nq_chunk], k))
+        out.extend(t.wait()[1] for t in toks)
+        return np.concatenate(out, axis=0)
 
     def search_and_reconstruct(
         self, x: np.ndarray, k: int, params=None,

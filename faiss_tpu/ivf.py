@@ -172,8 +172,10 @@ def _probed_scores(*, nprobe: int, metric: MetricType,
         # CHUNK-granular gather: reshape the slot-major tensors so one take
         # row moves one whole chunk contiguously. NOTE (r4c.log): XLA's
         # gather is catastrophically slow on TPU regardless of slice width
-        # (2–13 GB/s); this XLA block survives only for the kinds the
-        # Pallas fine scan can't take (f32 rows) and for range_search.
+        # (2–13 GB/s); this XLA block survives only for range_search and
+        # non-8-aligned nq_pad — every storage kind's search fine scan
+        # (f32 included, via the exact in-register 3-way split) rides the
+        # Pallas scalar-prefetch gather kernel.
         d_pad = data.shape[1]
         cand = jnp.take(data.reshape(-1, chunk * d_pad), cidx, axis=0
                         ).reshape(_QB, ncand, d_pad)
@@ -455,7 +457,42 @@ def _grow_pool_fn(old, new_rows, fill):
     return jnp.pad(old, pad, constant_values=fill)
 
 
-_grow_pool = jax.jit(_grow_pool_fn, static_argnums=(1, 2))
+# donate the old pool: growth can't alias (the output is bigger) but
+# donation invalidates the caller's reference at the call, so the old
+# buffer frees as soon as the pad completes instead of surviving until the
+# Python rebind — multi-GB transients at 10M-row scale (ADVICE r4)
+_grow_pool = jax.jit(_grow_pool_fn, static_argnums=(1, 2),
+                     donate_argnums=(0,))
+
+
+_ASSIGN_BLK = 8192  # coarse-assign GEMM rows per lax.map block: bounds the
+#                     live (blk, nlist_pad) score slab to ≤ 256 MB at
+#                     nlist=8192 while keeping the MXU batched
+
+
+def _build_assign_fn(*, n_pad: int, metric: MetricType):
+    """fn(xd (n_pad, d_pad) f32, cents (nlist_pad, d_pad), cnorms) ->
+    (n_pad,) int32 nearest-centroid ids. The add-path coarse router: the
+    SAME matmul_scores arithmetic as the quantizer's flat search (padded
+    centroid rows carry +inf norms -> -inf scores), argmax ties break
+    low-id like lax.top_k. One jitted program over lax.map blocks — the
+    batch crosses the host boundary ONCE (the r4 add routed through
+    quantizer.assign, re-transferring the rows it was about to scatter;
+    183 s/1M rows, measurements_r4/ivf1m.log)."""
+    blk = min(n_pad, _ASSIGN_BLK)
+    assert n_pad % blk == 0, (n_pad, blk)
+    nblocks = n_pad // blk
+
+    def fn(xd, cents, cnorms):
+        def body(i):
+            qs = jax.lax.dynamic_slice_in_dim(xd, i * blk, blk, axis=0)
+            cs = dist_ops.matmul_scores(qs, cents, cnorms, metric)
+            return jnp.argmax(cs, axis=-1).astype(jnp.int32)
+
+        return jax.lax.map(body,
+                           jnp.arange(nblocks, dtype=jnp.int32)).reshape(n_pad)
+
+    return jax.jit(fn)
 
 
 class TpuIndexIVFFlat:
@@ -602,6 +639,26 @@ class TpuIndexIVFFlat:
                 self._ctable_host, ((0, 0), (0, new_maxc - self.maxc)))
             self.maxc = new_maxc
 
+    def _coarse_assign(self, x: np.ndarray):
+        """Pad + transfer an add batch ONCE and route it on device: returns
+        (xd (n_pad, d_pad) f32 device rows, assign (n,) int64 host list
+        ids). The scatter consumes ``xd`` directly, so add() moves the batch
+        over the host link exactly once — the r4 path routed through
+        quantizer.assign() (its own chunked transfers + search programs)
+        and then re-transferred the same rows for the scatter."""
+        n = x.shape[0]
+        blk = min(_ASSIGN_BLK, max(_QB, _round_up(n, _QB)))
+        n_pad = _round_up(n, blk)
+        xp = np.zeros((n_pad, self.d_pad), np.float32)
+        xp[:n, : self.d] = x
+        xd = jnp.asarray(xp)
+        fn = self.res.cached(
+            ("ivf_assign", n_pad, self.d_pad, self._cents.shape[0],
+             self.metric),
+            lambda: _build_assign_fn(n_pad=n_pad, metric=self.metric))
+        assign = np.asarray(jax.device_get(fn(xd, self._cents, self._cnorms)))
+        return xd, assign[:n].astype(np.int64)
+
     def add(self, x: np.ndarray) -> None:
         if not self.is_trained:
             raise RuntimeError(
@@ -613,24 +670,24 @@ class TpuIndexIVFFlat:
         n = x.shape[0]
         if n == 0:
             return
-        assign = self.quantizer.assign(x).ravel().astype(np.int64)
+        xd, assign = self._coarse_assign(x)
         if self.storage_type is StorageType.INT8:
             # quantize on device with the frozen scales; norms are of the
             # DECODED rows (storage._quantize_int8_fn — the flat index's
-            # self-consistent int8 ranking contract)
+            # self-consistent int8 ranking contract). Zero pad rows can't
+            # clip, so the clip counter is exact over the padded batch.
             from .storage import _quantize_int8_fn
 
-            xp = np.zeros((n, self.d_pad), np.float32)
-            xp[:, : self.d] = x
-            vq, nrm, _qn, clip = _quantize_int8_fn(jnp.asarray(xp),
-                                                   self._scales)
+            vq, nrm, _qn, clip = _quantize_int8_fn(xd, self._scales)
             self._int8_elems += n * self.d
             self._int8_clipped = (clip if self._int8_clipped is None
                                   else self._int8_clipped + clip)
-            self._add_preassigned(vq, nrm, assign)
+            self._add_preassigned(vq[:n], nrm[:n], assign)
             return
+        # norms stay host-f64-accumulated pre-quantization (the storage.add
+        # contract every oracle subtracts)
         norms = (x.astype(np.float64) ** 2).sum(1).astype(np.float32)
-        self._add_preassigned(x, norms, assign)
+        self._add_preassigned(xd[:n], norms, assign)
 
     def _add_preassigned(self, x, norms, assign: np.ndarray,
                          global_ids: Optional[np.ndarray] = None) -> None:
@@ -758,7 +815,9 @@ class TpuIndexIVFFlat:
         if nprobe < self.nlist and footprint > _GATHER_BUDGET:
             raise ValueError(
                 f"IVF fine scan working set would be {footprint >> 20} MB "
-                f"(nprobe={nprobe}, chunk budget={nbudget}); lower nprobe")
+                f"(nprobe={nprobe}, chunk budget={nbudget}); lower nprobe "
+                "(oversized query batches are split automatically — hitting "
+                "this means even one query block exceeds the budget)")
         qp = np.zeros((nq_pad, self.d_pad), np.float32)
         qp[:nq, : self.d] = x
         return qp, nq, nq_pad, nprobe, nbudget, sel
@@ -802,15 +861,39 @@ class TpuIndexIVFFlat:
         out of the fine scan exactly like padding."""
         return self.search_async(x, k, params=params).wait()
 
+    def _nq_cap(self, nprobe: int) -> Optional[int]:
+        """Max query rows per kernel-path dispatch: the Pallas fine scan
+        materializes an (nq_pad, nbudget·CHUNK) f32 score array, so the
+        batch — not only nprobe — drives the working set (ADVICE r4: the
+        r4 gate hard-errored batches over ~2048 queries at 1M/nprobe=64
+        that used to run). Oversized batches split on this cap."""
+        if not self.npool or nprobe >= self.nlist:
+            return None  # dense route self-bounds its sweep slab
+        nbudget = _chunk_budget(self._counts, nprobe, _CHUNK)
+        cap = _GATHER_BUDGET // max(nbudget * _CHUNK * 4, 1)
+        return max(_QB, cap // _QB * _QB)
+
     def search_async(self, x: np.ndarray, k: int, params=None):
         """Non-blocking IVF search returning a TpuSearchToken (VERDICT r3
         weak #6: the fine scan is ONE jitted program — JAX dispatch is
         natively async, so searches pipeline through a remote tunnel
         instead of paying a blocking ~25 ms device_get each). IVF results
         are exact within the probed lists by construction — no certificate,
-        no fallback."""
-        from .index import TpuSearchToken
+        no fallback. Query batches whose score array would exceed the
+        gather budget are split into row chunks (all enqueued up front, so
+        they pipeline) and concatenated at wait()."""
+        from .index import ConcatSearchToken, TpuSearchToken
 
+        xa = np.ascontiguousarray(x, np.float32)
+        if xa.ndim == 2 and self.is_trained:
+            req = (getattr(params, "nprobe", None)
+                   if params is not None else None)
+            nprobe = min(req if req is not None else self.nprobe, self.nlist)
+            cap = self._nq_cap(nprobe)
+            if cap is not None and xa.shape[0] > cap:
+                return ConcatSearchToken([
+                    self.search_async(xa[i0:i0 + cap], k, params=params)
+                    for i0 in range(0, xa.shape[0], cap)])
         out, nq = self._search_device(x, k, params)
         if out is None:
             tok = TpuSearchToken(None, None, nq)

@@ -20,9 +20,10 @@ Architecture (the IVF analog of parallel/sharded.py):
 
 Storage kinds mirror TpuIndexIVFFlat: f32 / bf16 / int8 (1 B/elem lists,
 one frozen scale grid shared by every shard — shard-count-invariant
-quantization). v1 scope: add/train/search/search_async/reconstruct/
-describe/reset + selectors and the per-query nprobe override; remove_ids /
-merge_from / range_search / io remain single-chip features (TpuIndexIVFFlat).
+quantization). Surface: add/train/search/search_async/reconstruct/
+describe/reset + selectors, the per-query nprobe override, and exact-bits
+save/load (io.py:72-95, tests/test_io.py); remove_ids / merge_from /
+range_search remain single-chip features (TpuIndexIVFFlat).
 
 Tested on the emulated 8-device CPU mesh (tests/conftest.py), like every
 multi-chip path here (SURVEY.md §4).
@@ -381,7 +382,9 @@ class ShardedIndexIVFFlat:
             raise ValueError(
                 f"IVF fine scan working set would be "
                 f"{(nq_pad * nbudget * _CHUNK * 4) >> 20} MB per shard "
-                f"(nprobe={nprobe}, chunk budget={nbudget}); lower nprobe")
+                f"(nprobe={nprobe}, chunk budget={nbudget}); lower nprobe "
+                "(oversized query batches are split automatically — hitting "
+                "this means even one query block exceeds the budget)")
         sel = self._sel_stream(mask, npool)
         with_sel = sel is not None
         key = ("sharded_ivf", self.num_shards, self.nlist, npool, maxc,
@@ -406,7 +409,29 @@ class ShardedIndexIVFFlat:
     def search(self, x, k: int, params=None) -> Tuple[np.ndarray, np.ndarray]:
         return self.search_async(x, k, params=params).wait()
 
-    def search_async(self, x, k: int, params=None) -> TpuSearchToken:
+    def _nq_cap(self, nprobe: int) -> Optional[int]:
+        """Per-dispatch query-row cap (see TpuIndexIVFFlat._nq_cap): the
+        per-shard fine scan materializes (nq_pad, nbudget·CHUNK) f32."""
+        if not any(s.npool for s in self.shards) or nprobe >= self.nlist:
+            return None
+        nbudget = max(_chunk_budget(s._counts, nprobe, _CHUNK)
+                      for s in self.shards)
+        cap = _GATHER_BUDGET // max(nbudget * _CHUNK * 4, 1)
+        return max(_QB, cap // _QB * _QB)
+
+    def search_async(self, x, k: int, params=None):
+        from ..index import ConcatSearchToken
+
+        xa = np.ascontiguousarray(x, np.float32)
+        if xa.ndim == 2 and self.is_trained:
+            req = (getattr(params, "nprobe", None)
+                   if params is not None else None)
+            nprobe = min(req if req is not None else self.nprobe, self.nlist)
+            cap = self._nq_cap(nprobe)
+            if cap is not None and xa.shape[0] > cap:
+                return ConcatSearchToken([
+                    self.search_async(xa[i0:i0 + cap], k, params=params)
+                    for i0 in range(0, xa.shape[0], cap)])
         out, nq = self._search_device(x, k, params)
         if out is None:
             tok = TpuSearchToken(None, None, nq)

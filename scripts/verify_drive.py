@@ -1,3 +1,5 @@
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np, faiss_tpu
 rng = np.random.default_rng(0)
 xb = rng.standard_normal((50_000, 128)).astype(np.float32)

@@ -536,3 +536,44 @@ def test_merge_from_mismatch_raises():
         a.merge_from(b)
     with pytest.raises(ValueError):
         a.merge_from(a)
+
+
+def test_coarse_assign_matches_quantizer():
+    """add()'s on-device coarse router (one padded transfer + argmax) must
+    route every row exactly like the quantizer's own flat search — integer
+    data makes fp32 scores exact, so equality is exact, ties low-id."""
+    xb, _ = int_data(3000, 1, 16, seed=71)
+    ix = TpuIndexIVFFlat(16, 16, seed=3)
+    ix.train(xb)
+    xd, assign = ix._coarse_assign(xb)
+    ref = ix.quantizer.assign(xb).ravel()
+    np.testing.assert_array_equal(assign, ref)
+    assert xd.shape == (xd.shape[0], ix.d_pad) and xd.shape[0] >= 3000
+
+
+def test_ivf_batch_split_matches_unsplit(monkeypatch):
+    """Oversized query batches split on the gather-budget query cap
+    (ADVICE r4: the full-batch gate hard-errored batches that used to run)
+    and the ConcatSearchToken reassembles results bit-identically."""
+    from faiss_tpu import ivf as ivf_mod
+    from faiss_tpu.index import ConcatSearchToken
+
+    xb, xq = int_data(4000, 24, 16, seed=77)
+    ix = TpuIndexIVFFlat(16, 16, nprobe=4, seed=3)
+    ix.train(xb)
+    ix.add(xb)
+    D0, I0 = ix.search(xq, 5)
+    nbudget = ivf_mod._chunk_budget(ix._counts, 4, ivf_mod._CHUNK)
+    # budget sized for exactly one 8-query block per dispatch -> 3 chunks
+    monkeypatch.setattr(ivf_mod, "_GATHER_BUDGET",
+                        nbudget * ivf_mod._CHUNK * 4 * 8)
+    assert ix._nq_cap(4) == 8
+    tok = ix.search_async(xq, 5)
+    assert isinstance(tok, ConcatSearchToken)
+    D1, I1 = tok.wait()
+    assert tok.is_ready()
+    np.testing.assert_array_equal(I0, I1)
+    np.testing.assert_array_equal(D0, D1)
+    # blocking search splits the same way (it rides search_async)
+    D2, I2 = ix.search(xq, 5)
+    np.testing.assert_array_equal(I0, I2)

@@ -127,3 +127,26 @@ def test_sharded_ivf_kernel_fine_scan_path(storage):
     Ds, Is = single.search(xq, 7)
     np.testing.assert_array_equal(I, Is)
     np.testing.assert_allclose(D, Ds, rtol=1e-6, atol=1e-6)
+
+
+def test_sharded_ivf_batch_split_matches_unsplit(monkeypatch):
+    """Oversized query batches split on the per-shard gather-budget cap
+    (ADVICE r4) and reassemble bit-identically via ConcatSearchToken."""
+    from faiss_tpu.parallel import sharded_ivf as sivf_mod
+    from faiss_tpu.index import ConcatSearchToken
+
+    xb, xq = int_data(6000, 24, 16, seed=83)
+    sh = ShardedIndexIVFFlat(16, 8, nprobe=3, num_shards=2, seed=5)
+    sh.train(xb)
+    sh.add(xb)
+    D0, I0 = sh.search(xq, 5)
+    nbudget = max(sivf_mod._chunk_budget(s._counts, 3, sivf_mod._CHUNK)
+                  for s in sh.shards)
+    monkeypatch.setattr(sivf_mod, "_GATHER_BUDGET",
+                        nbudget * sivf_mod._CHUNK * 4 * 8)
+    assert sh._nq_cap(3) == 8
+    tok = sh.search_async(xq, 5)
+    assert isinstance(tok, ConcatSearchToken)
+    D1, I1 = tok.wait()
+    np.testing.assert_array_equal(I0, I1)
+    np.testing.assert_array_equal(D0, D1)
