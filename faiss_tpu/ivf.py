@@ -90,6 +90,21 @@ _GATHER_BUDGET = 512 << 20  # bytes of gathered candidates per block
 # measured 2–13 GB/s regardless of slice width (catastrophic; 187 ms for
 # a 437 MB candidate sweep at chunk=512 — measurements_r4/r4c.log).
 _CHUNK = 128
+# gather-DMA pipelining depth of the fine scan (ranks per kernel grid
+# step). The flat rescore's default (RESCORE_RANKS=2, tuned at kg=14) left
+# the IVF scan latency-bound at ~260 GB/s — 16 in-flight 32 KB chunk DMAs
+# don't cover HBM latency at kg=nbudget (r4d.log: B4 3.93 ms vs a 1.2 ms
+# gather roofline; int8 = bf16 time at HALF the bytes). Budgets are
+# _round_budget-quantized so rj=8 almost always divides (else
+# _ranks_per_step degrades to the largest divisor).
+_SCAN_RANKS = 8
+# scalar-prefetch budget: the fine scan's (nq_pad, nbudget) int32 chunk-id
+# operand prefetches into SMEM (1 MB on v5e) — a 104-query nprobe=64 batch
+# at 1M rows overflowed it (cidx 104x2560x4 B = 1.04 MB: "Allocation would
+# exceed memory, space=smem", measurements_r5/ivf1m_v3.log). The query cap
+# splits batches so every dispatch fits; 900 KB leaves headroom for the
+# grid's own scalars.
+_SMEM_BUDGET = 900 << 10
 
 
 def _chunk_ids(probe, counts, ctable, chunk: int, nbudget: int,
@@ -226,7 +241,7 @@ def _probed_scores(*, nprobe: int, metric: MetricType,
 def _build_ivf_search_fn(*, nlist: int, nprobe: int, nq_pad: int,
                          k: int, d_pad: int, metric: MetricType,
                          kind: str, nbudget: int, nsweep: int = 0,
-                         with_sel: bool = False,
+                         with_sel: bool = False, dense_fused: bool = False,
                          interpret: bool = False):
     """fn(data (npool·128, d_pad), norms (npool·128,), counts (nlist,) i32,
     ids (npool·128,) i32, ctable (nlist, maxc) i32, cents (nlist_pad,
@@ -276,7 +291,7 @@ def _build_ivf_search_fn(*, nlist: int, nprobe: int, nq_pad: int,
                                     nbudget=nbudget)
 
     def fn(data, norms, counts, ids, ctable, cents, cnorms, q, sel=None,
-           scales=None):
+           scales=None, inorm=None):
         qn = jnp.sum(q * q, axis=-1, dtype=jnp.float32)
         qeff = q * scales[None, :] if kind == "int8" else q
         if dense:
@@ -289,6 +304,42 @@ def _build_ivf_search_fn(*, nlist: int, nprobe: int, nq_pad: int,
             nslots = min(nsweep, data.shape[0]) if nsweep else data.shape[0]
             occ = ids >= 0
             sel_eff = occ if sel is None else occ & sel
+            if dense_fused:
+                # the FLAT fused program over the pool prefix (r5: the XLA
+                # dense sweep measured 17.0 ms vs the fused sweep's 0.52 at
+                # 1M — r4d.log DENSE row): group-max sweep -> top groups ->
+                # gather/rescore, never materializing (nq, nslots). Hole /
+                # filtered slots ride the pre-masked norm stream; exact
+                # query-split nomination (sweep_passes=2) keeps the
+                # certificate rate ~1; uncertified queries re-run the XLA
+                # dense program via TpuSearchToken.wait() (the flat tiered
+                # discipline, index.make_selective_fallback).
+                from .ops import pallas_fused as pf
+
+                ke = min(k, nslots)
+                v, slot, cert = pf.fused_search(
+                    q, data, norms, jnp.int32(nslots), k=ke, metric=metric,
+                    nv_eff=nslots, interpret=interpret, sweep_passes=2,
+                    scales=scales if kind == "int8" else None,
+                    int_norm_max=inorm if kind == "int8" else None,
+                    sel=sel_eff)
+                if metric is MetricType.L2:
+                    # kernel scores omit the rank-invariant −‖q‖²
+                    v = v - qn[:, None]
+                lab = jnp.take(ids, slot, axis=0)
+                ok = v > -jnp.inf
+                dists = dist_ops.scores_to_distances(v, metric)
+                dists = jnp.where(ok, dists, worst_distance(metric))
+                lab = jnp.where(ok, lab, jnp.int32(-1))
+                if ke < k:
+                    dists = jnp.concatenate([
+                        dists, jnp.full((nq_pad, k - ke),
+                                        worst_distance(metric), jnp.float32)],
+                        axis=-1)
+                    lab = jnp.concatenate([
+                        lab, jnp.full((nq_pad, k - ke), -1, jnp.int32)],
+                        axis=-1)
+                return dists, lab, cert
             # halve only while even → sweep_chunk always divides nslots
             # exactly (nsweep is quantized to ~2 significant bits of
             # chunks), so no clamped tail slice
@@ -344,8 +395,7 @@ def _build_ivf_search_fn(*, nlist: int, nprobe: int, nq_pad: int,
         _, probe = jax.lax.top_k(cs, nprobe)        # (nq_pad, nprobe) i32
 
         if use_kernel:
-            from .ops.pallas_fused import (RESCORE_RANKS,
-                                           rescore_groups_pallas)
+            from .ops.pallas_fused import rescore_groups_pallas
 
             cidx, okc = _chunk_ids(probe, counts, ctable, chunk, nbudget,
                                    nprobe)
@@ -354,7 +404,7 @@ def _build_ivf_search_fn(*, nlist: int, nprobe: int, nq_pad: int,
             s = rescore_groups_pallas(
                 qeff, data, norms, cidx, jnp.int32(data.shape[0]),
                 metric=metric, nv_eff=data.shape[0], interpret=interpret,
-                ranks_per_step=RESCORE_RANKS, sel=sel_eff)
+                ranks_per_step=_SCAN_RANKS, sel=sel_eff)
             # dead budget positions point at chunk 0 — post-mask them
             s = jnp.where(jnp.broadcast_to(okc[:, :, None],
                                            (nq_pad, nbudget, chunk)
@@ -553,6 +603,9 @@ class TpuIndexIVFFlat:
         self._scales = None              # (d_pad,) f32 device
         self._int8_clipped = None        # () f32 device counter
         self._int8_elems = 0
+        self._int8_qn = None             # () f32 running max ‖codes‖ (the
+        #                                  dense-fused certificate operand)
+        self.fused_fallbacks = 0         # dense-fused cert re-runs
 
     @property
     def is_trained(self) -> bool:
@@ -679,6 +732,11 @@ class TpuIndexIVFFlat:
             from .storage import _quantize_int8_fn
 
             vq, nrm, _qn, clip = _quantize_int8_fn(xd, self._scales)
+            # running max ‖codes‖ (device scalar, no host sync): the
+            # dense-fused route's int8 certificate operand (zero pad rows
+            # cannot raise it)
+            self._int8_qn = (_qn if self._int8_qn is None
+                             else jnp.maximum(self._int8_qn, _qn))
             self._int8_elems += n * self.d
             self._int8_clipped = (clip if self._int8_clipped is None
                                   else self._int8_clipped + clip)
@@ -735,6 +793,11 @@ class TpuIndexIVFFlat:
             xp = np.zeros((n, self.d_pad), np.int8)
             xp[:, : self.d] = x
             rows = jnp.asarray(xp)
+            qn = np.float32(np.sqrt(
+                (x.astype(np.float64) ** 2).sum(1).max()))
+            self._int8_qn = (jnp.float32(qn) if self._int8_qn is None
+                             else jnp.maximum(self._int8_qn,
+                                              jnp.float32(qn)))
         else:
             xp = np.zeros((n, self.d_pad), np.float32)
             xp[:, : self.d] = x
@@ -808,6 +871,12 @@ class TpuIndexIVFFlat:
                        and nq_pad % 8 == 0)
         if kernel_scan:
             footprint = nq_pad * nbudget * _CHUNK * 4
+            if nprobe < self.nlist and _QB * nbudget * 4 > _SMEM_BUDGET:
+                raise ValueError(
+                    f"IVF fine scan chunk-id operand would need "
+                    f"{_QB * nbudget * 4 >> 10} KB of SMEM per 8-query "
+                    f"block (nprobe={nprobe}, budget={nbudget}); lower "
+                    f"nprobe")
         else:
             itemsize = {jnp.dtype(jnp.float32): 4, jnp.dtype(jnp.bfloat16): 2,
                         jnp.dtype(jnp.int8): 1}[jnp.dtype(self._dtype)]
@@ -822,9 +891,25 @@ class TpuIndexIVFFlat:
         qp[:nq, : self.d] = x
         return qp, nq, nq_pad, nprobe, nbudget, sel
 
-    def _search_device(self, x: np.ndarray, k: int, params=None):
-        """Enqueue one IVF search; returns (unrealized (dists, labels), nq)
-        or (None, nq) for the empty index."""
+    def _dense_fused_ok(self, nsweep: int) -> bool:
+        """The dense (nprobe == nlist) route rides the flat fused program
+        when the quantized pool prefix is DIRECT_BV-row-aligned (a main+tail
+        two-Mosaic-kernel program is the known remote-compile hazard;
+        sub-64k-row pools keep the XLA sweep — it is cheap there) and, for
+        int8, the running max-code-norm certificate operand exists. f32
+        pools keep the XLA sweep: the fused f32 program needs the bf16
+        (hi, lo) pair planes, which IVF storage does not keep."""
+        from .ops.pallas_fused import DIRECT_BV
+
+        nslots = min(nsweep, self.npool * _CHUNK)
+        return (self._kind in ("bf16", "int8") and nslots > 0
+                and nslots % DIRECT_BV == 0
+                and (self._kind != "int8" or self._int8_qn is not None))
+
+    def _search_device(self, x: np.ndarray, k: int, params=None,
+                       force_xla_dense: bool = False):
+        """Enqueue one IVF search; returns (unrealized (dists, labels
+        [, cert, fallback]), nq) or (None, nq) for the empty index."""
         if k <= 0:
             raise ValueError(f"k must be positive, got {k}")
         qp, nq, nq_pad, nprobe, nbudget, sel = self._prep_search(x, params)
@@ -837,20 +922,42 @@ class TpuIndexIVFFlat:
         # routes ignore it — keep it out of their cache key.
         nsweep = (_round_budget(self._used_chunks) * _CHUNK
                   if nprobe >= self.nlist else 0)
+        dense_fused = (bool(nsweep) and not force_xla_dense
+                       and self._dense_fused_ok(nsweep))
         key = ("ivf_search", self.nlist, self.npool, self.maxc, nprobe,
                nbudget, nsweep, nq_pad, int(k), self.d_pad, self.metric,
-               self.storage_type, with_sel)
+               self.storage_type, with_sel, dense_fused)
         fn = self.res.cached(
             key,
             lambda: _build_ivf_search_fn(
                 nlist=self.nlist, nprobe=nprobe,
                 nq_pad=nq_pad, k=int(k), d_pad=self.d_pad,
                 metric=self.metric, kind=self._kind, nbudget=nbudget,
-                nsweep=nsweep, with_sel=with_sel,
+                nsweep=nsweep, with_sel=with_sel, dense_fused=dense_fused,
                 interpret=not self.res.capabilities.is_tpu))
         out = fn(self._data, self._norms, self._counts_dev, self._ids,
                  self._ctable, self._cents, self._cnorms, jnp.asarray(qp),
-                 sel, self._scales)
+                 sel, self._scales, self._int8_qn)
+        if dense_fused:
+            x_host = np.ascontiguousarray(x, np.float32).reshape(-1, self.d)
+
+            def fallback(cert_h, d0, i0):
+                d_out = np.ascontiguousarray(
+                    np.asarray(d0)[:nq], np.float32).copy()
+                i_out = np.ascontiguousarray(
+                    np.asarray(i0)[:nq], np.int64).copy()
+                bad = np.nonzero(~np.asarray(cert_h)[:nq])[0]
+                if bad.size == 0:  # only padding rows failed — exact
+                    return d_out, i_out
+                self.fused_fallbacks += 1
+                out2, _ = self._search_device(x_host[bad], k, params,
+                                              force_xla_dense=True)
+                d2, i2 = jax.device_get(out2[:2])
+                d_out[bad] = np.asarray(d2)[: bad.size]
+                i_out[bad] = np.asarray(i2)[: bad.size]
+                return d_out, i_out
+
+            return (out[0], out[1], out[2], fallback), nq
         return out, nq
 
     def search(self, x: np.ndarray, k: int,
@@ -870,7 +977,8 @@ class TpuIndexIVFFlat:
         if not self.npool or nprobe >= self.nlist:
             return None  # dense route self-bounds its sweep slab
         nbudget = _chunk_budget(self._counts, nprobe, _CHUNK)
-        cap = _GATHER_BUDGET // max(nbudget * _CHUNK * 4, 1)
+        cap = min(_GATHER_BUDGET // max(nbudget * _CHUNK * 4, 1),
+                  (_SMEM_BUDGET // 4) // max(nbudget, 1))
         return max(_QB, cap // _QB * _QB)
 
     def search_async(self, x: np.ndarray, k: int, params=None):
@@ -879,9 +987,12 @@ class TpuIndexIVFFlat:
         natively async, so searches pipeline through a remote tunnel
         instead of paying a blocking ~25 ms device_get each). IVF results
         are exact within the probed lists by construction — no certificate,
-        no fallback. Query batches whose score array would exceed the
-        gather budget are split into row chunks (all enqueued up front, so
-        they pipeline) and concatenated at wait()."""
+        no fallback on the gather routes; the dense-fused route (nprobe ==
+        nlist over the pool prefix) ships the flat path's per-query
+        certificate, and wait() re-runs uncertified queries through the
+        exact XLA dense sweep. Query batches whose score array would exceed
+        the gather budget are split into row chunks (all enqueued up front,
+        so they pipeline) and concatenated at wait()."""
         from .index import ConcatSearchToken, TpuSearchToken
 
         xa = np.ascontiguousarray(x, np.float32)
@@ -901,6 +1012,9 @@ class TpuIndexIVFFlat:
                 np.full((nq, k), worst_distance(self.metric), np.float32),
                 np.full((nq, k), -1, np.int64))
             return tok
+        if len(out) == 4:  # dense-fused: certificate + tiered fallback
+            return TpuSearchToken(out[0], out[1], nq, cert=out[2],
+                                  fallback=out[3])
         return TpuSearchToken(out[0], out[1], nq)
 
     def range_search(
@@ -1074,6 +1188,7 @@ class TpuIndexIVFFlat:
         self._slot_of = np.empty(0, np.int64)
         self._int8_clipped = None
         self._int8_elems = 0
+        self._int8_qn = None
 
     def list_sizes(self) -> np.ndarray:
         """Per-list occupancy (faiss invlists->list_size observability)."""
@@ -1097,4 +1212,5 @@ class TpuIndexIVFFlat:
             f"storage={self.storage_type.value}, ntotal={self.ntotal}, "
             f"pool={self._used_chunks}/{self.npool}x{_CHUNK}, "
             f"bucket_load={load:.2f}, "
+            f"fused_fallbacks={self.fused_fallbacks}, "
             f"trained={self.is_trained}{int8_note})")

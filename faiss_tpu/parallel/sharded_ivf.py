@@ -44,7 +44,7 @@ from ..resources import TpuResources, default_resources
 from .. import selector as sel_mod
 from ..storage import LANE, _round_up
 from ..ivf import (TpuIndexIVFFlat, _probed_scores, _QB, _GATHER_BUDGET,
-                   _CHUNK, _chunk_budget)
+                   _CHUNK, _chunk_budget, _SCAN_RANKS, _SMEM_BUDGET)
 from ..index import TpuSearchToken
 
 AXIS = TpuResources.SHARD_AXIS
@@ -88,8 +88,7 @@ def _build_sharded_ivf_search_fn(*, mesh, nlist: int, nprobe: int,
             # rescore kernel (see ivf._build_ivf_search_fn — XLA's gather
             # measured 2–13 GB/s; the kernel DMAs run at HBM bandwidth)
             from ..ivf import _chunk_ids
-            from ..ops.pallas_fused import (RESCORE_RANKS,
-                                            rescore_groups_pallas)
+            from ..ops.pallas_fused import rescore_groups_pallas
 
             cidx, okc = _chunk_ids(probe, counts, ctable, chunk, nbudget,
                                    nprobe)
@@ -98,7 +97,7 @@ def _build_sharded_ivf_search_fn(*, mesh, nlist: int, nprobe: int,
             s = rescore_groups_pallas(
                 qeff, data, norms, cidx, jnp.int32(data.shape[0]),
                 metric=metric, nv_eff=data.shape[0], interpret=interpret,
-                ranks_per_step=RESCORE_RANKS, sel=sel_eff)
+                ranks_per_step=_SCAN_RANKS, sel=sel_eff)
             s = jnp.where(jnp.broadcast_to(okc[:, :, None],
                                            (nq_pad, nbudget, chunk)
                                            ).reshape(nq_pad, ncand),
@@ -416,7 +415,8 @@ class ShardedIndexIVFFlat:
             return None
         nbudget = max(_chunk_budget(s._counts, nprobe, _CHUNK)
                       for s in self.shards)
-        cap = _GATHER_BUDGET // max(nbudget * _CHUNK * 4, 1)
+        cap = min(_GATHER_BUDGET // max(nbudget * _CHUNK * 4, 1),
+                  (_SMEM_BUDGET // 4) // max(nbudget, 1))
         return max(_QB, cap // _QB * _QB)
 
     def search_async(self, x, k: int, params=None):

@@ -1,6 +1,7 @@
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np, faiss_tpu
+import jax.numpy as jnp
 rng = np.random.default_rng(0)
 xb = rng.standard_normal((50_000, 128)).astype(np.float32)
 xq = np.random.default_rng(1).standard_normal((32, 128)).astype(np.float32)
@@ -137,9 +138,19 @@ ivf.merge_from(ivf2)
 assert ivf.ntotal == 60_000 and ivf2.ntotal == 0
 tok = ivf.search_async(qm, 10)
 Dv, Iv = tok.wait()
-# numpy IVF oracle probing the SAME lists (bulk assign rides the chunked
-# async path: 60k queries against the 64-centroid quantizer)
-assign_all = ivf.quantizer.assign(xm).ravel()
+# numpy IVF oracle probing the SAME lists, scored on the STORED rows (the
+# documented contract: exact-within-probed-lists w.r.t. the quantized bits
+# + pre-quantization norms — an unquantized-xm oracle legitimately loses
+# ~25% of top-10 hits at this mixture scale, where bf16's relative error
+# is ~16 absolute on ~8000-scale scores). quantizer.assign still runs for
+# the chunked bulk-assign coverage; the oracle probes the index's OWN
+# routing (they agree up to near-ties across arithmetic paths).
+assign_bulk = ivf.quantizer.assign(xm).ravel()
+assign_all = ivf._assignments()
+agree = float((assign_bulk == assign_all).mean())
+assert agree >= 0.999, agree  # coarse routers: matmul argmax vs flat search
+xm16 = np.asarray(jnp.asarray(xm).astype(jnp.bfloat16).astype(jnp.float32))
+n_pre = (xm.astype(np.float64) ** 2).sum(1)
 cq = ((qm.astype(np.float64)[:, None]
        - np.stack([ivf.quantizer.reconstruct(j)
                    for j in range(64)])[None]) ** 2).sum(-1)
@@ -147,10 +158,11 @@ probe = np.argsort(cq, axis=1)[:, :8]
 hits = 0
 for qi in range(16):
     cand = np.nonzero(np.isin(assign_all, probe[qi]))[0]
-    dd = ((qm[qi].astype(np.float64) - xm[cand].astype(np.float64))**2).sum(-1)
-    want = set(cand[np.argsort(dd)[:10]].tolist())
+    s = (2.0 * (xm16[cand].astype(np.float64) @ qm[qi].astype(np.float64))
+         - n_pre[cand])
+    want = set(cand[np.argsort(-s, kind="stable")[:10]].tolist())
     hits += len(want & set(Iv[qi].tolist()))
-assert hits >= 150, hits  # bf16 near-ties may swap a rank or two
+assert hits >= 156, hits  # fp32-true vs f64 oracle: rank-boundary ties only
 print("ivf OK (merged, async, paged pool):", ivf.describe(), "hits", hits)
 selp2 = faiss_tpu.SearchParams(faiss_tpu.IDSelectorRange(0, 30_000),
                                nprobe=64)

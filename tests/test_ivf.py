@@ -577,3 +577,55 @@ def test_ivf_batch_split_matches_unsplit(monkeypatch):
     # blocking search splits the same way (it rides search_async)
     D2, I2 = ix.search(xq, 5)
     np.testing.assert_array_equal(I0, I2)
+
+
+@pytest.mark.parametrize("storage", ["bf16", "int8"])
+def test_dense_fused_route_matches_xla_dense(storage, monkeypatch):
+    """nprobe == nlist rides the flat fused program over the pool prefix
+    (r5 — the XLA dense sweep measured 17.0 ms vs the fused 0.52 at 1M,
+    r4d.log). Forcing the route on a small pool (the DIRECT_BV alignment
+    gate only guards the remote-compile hazard, not correctness): results
+    must be exhaustive-exact — bit-equal to the XLA dense program on
+    integer data — through the full token/cert/fallback plumbing."""
+    from faiss_tpu import ivf as ivf_mod
+
+    xb, xq = int_data(4000, 16, 16, seed=91)
+    ix = TpuIndexIVFFlat(16, 8, nprobe=8, storage=storage, seed=3)
+    ix.train(xb)
+    ix.add(xb)
+    out_xla, _ = ix._search_device(xq, 7, force_xla_dense=True)
+    Dx, Ix = np.asarray(out_xla[0]), np.asarray(out_xla[1])
+    monkeypatch.setattr(TpuIndexIVFFlat, "_dense_fused_ok",
+                        lambda self, nsweep: True)
+    tok = ix.search_async(xq, 7)
+    D, I = tok.wait()
+    np.testing.assert_array_equal(I, Ix[: len(xq)])
+    np.testing.assert_allclose(D, Dx[: len(xq)], rtol=1e-6, atol=1e-6)
+    # flat exhaustive parity (the nprobe == nlist contract)
+    flat = faiss_tpu.TpuIndexFlat(16, storage=storage)
+    if storage == "int8":
+        flat.train(xb)
+    flat.add(xb)
+    _, If = flat.search(xq, 7)
+    for qi in range(len(xq)):
+        assert set(I[qi]) == set(If[qi]), qi
+
+
+def test_dense_fused_selector_and_removals(monkeypatch):
+    """Dense-fused masking: holes from remove_ids and selector-filtered
+    rows mask out of the fused pool sweep exactly like padding."""
+    from faiss_tpu import SearchParams, IDSelectorRange
+
+    xb, xq = int_data(3000, 8, 16, seed=93)
+    ix = TpuIndexIVFFlat(16, 4, nprobe=4, storage="bf16", seed=3)
+    ix.train(xb)
+    ix.add(xb)
+    ix.remove_ids(np.arange(100, 400))
+    monkeypatch.setattr(TpuIndexIVFFlat, "_dense_fused_ok",
+                        lambda self, nsweep: True)
+    params = SearchParams(IDSelectorRange(0, 1500))
+    D, I = ix.search(xq, 5, params=params)
+    out_xla, _ = ix._search_device(xq, 5, params=params,
+                                   force_xla_dense=True)
+    np.testing.assert_array_equal(I, np.asarray(out_xla[1])[: len(xq)])
+    assert ((I >= 0) & (I < 1500)).all()
