@@ -53,7 +53,8 @@ from .dtypes import MetricType
 from .ops import distance as dist_ops
 from .storage import LANE, _round_up
 
-__all__ = ["Kmeans", "kmeans_clustering", "knn", "pairwise_distances"]
+__all__ = ["Kmeans", "balance_centroids", "kmeans_clustering", "knn",
+           "pairwise_distances"]
 
 # static chunk of training rows per E/M block: (chunk, k_pad) score tile and
 # (chunk, d_pad) data tile both stay comfortably inside VMEM-friendly sizes
@@ -139,6 +140,130 @@ def _lloyd_train_fn(*, n_pad: int, k_pad: int, d_pad: int, niter: int,
         return cents, obj
 
     return jax.jit(fn)
+
+
+def _assign_only_fn(*, n_pad: int, k_pad: int, d_pad: int, chunk: int,
+                    k: int, metric: MetricType):
+    """jitted fn(x (n_pad, d_pad), valid (n_pad,), cents (k_pad, d_pad))
+    -> assign (n_pad,) int32 (-1 on pad rows) — the E-step alone, for the
+    balance loop's host-side occupancy counts."""
+    nchunks = n_pad // chunk
+
+    def fn(x, valid, cents):
+        cnorm = jnp.sum(cents * cents, axis=-1, dtype=jnp.float32)
+        mask = jax.lax.iota(jnp.int32, k_pad) < k
+
+        def block(c):
+            xs = jax.lax.dynamic_slice_in_dim(x, c * chunk, chunk, axis=0)
+            vs = jax.lax.dynamic_slice_in_dim(valid, c * chunk, chunk, axis=0)
+            s = dist_ops.matmul_scores(xs, cents, cnorm, metric)
+            s = jnp.where(mask[None, :], s, -jnp.inf)
+            return jnp.where(vs, jnp.argmax(s, axis=-1), -1).astype(jnp.int32)
+
+        return jax.lax.map(
+            block, jnp.arange(nchunks, dtype=jnp.int32)).reshape(-1)
+
+    return jax.jit(fn)
+
+
+def balance_centroids(x: np.ndarray, centroids: np.ndarray, *,
+                      cap_ratio: float = 2.0, rounds: int = 6,
+                      lloyd_iters: int = 2, metric=MetricType.L2,
+                      spherical: bool = False,
+                      verbose: bool = False) -> np.ndarray:
+    """Rebalance trained centroids so no cluster holds more than
+    ~``cap_ratio`` × the mean occupancy of the training sample.
+
+    Plain Lloyd on clustered data leaves heavy skew (1M mixture, k=1024:
+    max list 9263 vs mean 977 — measurements_r5/r4d.log), and the IVF fine
+    scan's STATIC per-query chunk budget is the sum of the nprobe largest
+    lists (`ivf._chunk_budget`), so every query pays the skew tax in
+    gather bytes: budget 80 chunks at nprobe=1 where the mean list needs 8.
+    Each round: (E-step occupancy) → split each oversized cluster in two
+    along its spread direction (the two half-means on either side of the
+    median projection), retiring the currently smallest clusters to keep k
+    fixed → a short warm-started Lloyd polish; a final split pass without
+    polish pins the cap. faiss has no balancing (Clustering.cpp only
+    splits EMPTY clusters); this is a deliberate divergence that trades a
+    slightly higher k-means objective for a bounded search budget.
+    """
+    x = np.ascontiguousarray(x, np.float32)
+    centroids = np.array(centroids, np.float32, copy=True)
+    k, d = centroids.shape
+    n = x.shape[0]
+    if n < 4 * k:  # too few points to measure skew — leave as trained
+        return centroids
+    chunk = min(_CHUNK, _round_up(n, 8))
+    n_pad = _round_up(n, chunk)
+    d_pad = _round_up(d, LANE)
+    k_pad = _round_up(k, 8)
+    xp = np.zeros((n_pad, d_pad), np.float32)
+    xp[:n, :d] = x
+    valid = np.zeros((n_pad,), bool)
+    valid[:n] = True
+    xd = jax.device_put(xp)
+    vd = jax.device_put(valid)
+    assign_fn = _assign_only_fn(n_pad=n_pad, k_pad=k_pad, d_pad=d_pad,
+                                chunk=chunk, k=k, metric=metric)
+    polish_fn = _lloyd_train_fn(n_pad=n_pad, k_pad=k_pad, d_pad=d_pad,
+                                niter=lloyd_iters, chunk=chunk, k=k,
+                                metric=metric, spherical=spherical)
+    cap = max(int(np.ceil(cap_ratio * n / k)), 2)
+
+    def pad_cents(c):
+        # pad ROWS are +inf (never win the argmax); real rows' pad COLUMNS
+        # must be 0 (the data's pad columns are 0)
+        cp = np.full((k_pad, d_pad), np.inf, np.float32)
+        cp[:k] = 0.0
+        cp[:k, :d] = c
+        return cp
+
+    def split_pass(cents, a):
+        counts = np.bincount(a[a >= 0], minlength=k)[:k]
+        over = np.nonzero(counts > cap)[0]
+        if over.size == 0:
+            return cents, counts, 0
+        over = over[np.argsort(-counts[over])]
+        order = np.argsort(a, kind="stable")       # members grouped by list
+        starts = np.searchsorted(a[order], np.arange(k))
+        ends = np.searchsorted(a[order], np.arange(k), side="right")
+        victims = [v for v in np.argsort(counts) if counts[v] <= cap // 2]
+        nsplit = min(over.size, len(victims))
+        for i in range(nsplit):
+            cl, v = int(over[i]), int(victims[i])
+            m = x[order[starts[cl]:ends[cl]]]
+            mu = m.mean(axis=0)
+            dev = m - mu
+            far = dev[int(np.argmax((dev * dev).sum(1)))]
+            proj = dev @ far
+            med = np.median(proj)
+            lo, hi = m[proj <= med], m[proj > med]
+            if not len(lo) or not len(hi):          # degenerate: all ties
+                continue
+            c1, c2 = lo.mean(axis=0), hi.mean(axis=0)
+            if spherical:
+                c1 = c1 / max(np.linalg.norm(c1), 1e-30)
+                c2 = c2 / max(np.linalg.norm(c2), 1e-30)
+            cents[cl], cents[v] = c1, c2
+        return cents, counts, nsplit
+
+    for r in range(rounds):
+        a = np.asarray(jax.device_get(
+            assign_fn(xd, vd, jax.device_put(pad_cents(centroids)))))[:n]
+        centroids, counts, nsplit = split_pass(centroids, a)
+        if verbose:
+            print(f"balance round {r}: max {counts.max()} cap {cap} "
+                  f"splits {nsplit}")
+        if nsplit == 0:
+            return centroids
+        if r < rounds - 1:                          # last split stays raw:
+            cp, _ = polish_fn(xd, vd, jax.device_put(pad_cents(centroids)))
+            # copy=True: when (k, d) == (k_pad, d_pad) the slice is the
+            # whole device_get buffer, which numpy marks read-only — the
+            # next split_pass writes rows in place (r4d2.log crash)
+            centroids = np.array(
+                np.asarray(jax.device_get(cp))[:k, :d], np.float32)
+    return centroids
 
 
 class Kmeans:

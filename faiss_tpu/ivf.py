@@ -555,7 +555,8 @@ class TpuIndexIVFFlat:
     def __init__(self, d: int, nlist: int, metric=MetricType.L2,
                  storage=StorageType.FLOAT32, nprobe: int = 1,
                  resources: Optional[TpuResources] = None,
-                 train_niter: int = 10, seed: int = 1234):
+                 train_niter: int = 10, seed: int = 1234,
+                 balance: float = 2.0):
         self.d, self.nlist = int(d), int(nlist)
         if self.d <= 0 or self.nlist <= 0:
             raise ValueError(f"bad IVF config: d={d}, nlist={nlist}")
@@ -571,6 +572,13 @@ class TpuIndexIVFFlat:
         self.res = resources if resources is not None else default_resources()
         self.train_niter = int(train_niter)
         self.seed = int(seed)
+        # train-time list balancing (clustering.balance_centroids): cap any
+        # list at ~balance x the mean so the fine scan's static chunk budget
+        # (_chunk_budget = sum of the nprobe FATTEST lists) stops paying the
+        # k-means skew tax (1M mixture: max list 9.5x mean -> budget 80
+        # chunks at nprobe=1 where the mean list needs 8 — r4d.log). 0/None
+        # disables (raw faiss Clustering behavior).
+        self.balance = float(balance) if balance else 0.0
         self.d_pad = _round_up(self.d, LANE)
         self._dtype = {StorageType.FLOAT32: jnp.float32,
                        StorageType.BFLOAT16: jnp.bfloat16,
@@ -632,7 +640,23 @@ class TpuIndexIVFFlat:
                         spherical=self.metric is MetricType.INNER_PRODUCT,
                         resources=self.res)
             km.train(x)
-            self._set_centroids(km.centroids, quantizer=km.index)
+            cents = km.centroids
+            if self.balance and self.nlist > 1:
+                from .clustering import balance_centroids
+
+                # same subsample budget as Kmeans.train so the balance
+                # rounds cost what one extra train costs
+                sub = x
+                cap_n = self.nlist * km.max_points_per_centroid
+                if len(sub) > cap_n:
+                    rng = np.random.default_rng(self.seed)
+                    sub = sub[rng.choice(len(sub), cap_n, replace=False)]
+                cents = balance_centroids(
+                    sub, cents, cap_ratio=self.balance, metric=self.metric,
+                    spherical=self.metric is MetricType.INNER_PRODUCT)
+                self._set_centroids(cents)
+                return
+            self._set_centroids(cents, quantizer=km.index)
 
     def _set_scales(self, scales: np.ndarray) -> None:
         """Install frozen int8 per-dim scales (train() and io.load_index)."""

@@ -161,3 +161,53 @@ def test_pairwise_distances_oracle():
     np.testing.assert_allclose(
         S, xq.astype(np.float64) @ xb.astype(np.float64).T,
         rtol=1e-5, atol=1e-5)
+
+
+def test_balance_centroids_caps_skew_and_preserves_quality():
+    """balance_centroids splits oversized clusters (half-means along the
+    spread direction, smallest clusters retired) until no cluster exceeds
+    ~cap_ratio x mean on the training sample; the k-means objective must
+    not degrade materially (splitting dense regions usually IMPROVES it)."""
+    from faiss_tpu.clustering import Kmeans, balance_centroids
+
+    rng = np.random.default_rng(0)
+    ncomp, d, k, n = 128, 16, 32, 20000
+    comps = (6.0 * rng.standard_normal((ncomp, d))).astype(np.float32)
+    w = rng.dirichlet(np.full(ncomp, 0.2))
+    x = (comps[rng.choice(ncomp, n, p=w)]
+         + rng.standard_normal((n, d))).astype(np.float32)
+
+    km = Kmeans(d, k, niter=8, seed=7)
+    km.train(x)
+    a0 = km.assign(x).ravel()
+    c0 = np.bincount(a0, minlength=k)
+    bal = balance_centroids(x, km.centroids, cap_ratio=2.0)
+    assert bal.shape == km.centroids.shape and bal.dtype == np.float32
+
+    from faiss_tpu.index import TpuIndexFlat
+
+    qi = TpuIndexFlat(d)
+    qi.add(bal)
+    a1 = qi.assign(x).ravel()
+    c1 = np.bincount(a1, minlength=k)
+    assert c1.max() < c0.max()
+    assert c1.max() <= 2.5 * n / k  # cap 2.0 + polish drift headroom
+    obj0 = float(((x - km.centroids[a0]) ** 2).sum())
+    obj1 = float(((x - bal[a1]) ** 2).sum())
+    assert obj1 <= 1.1 * obj0
+
+
+def test_balance_centroids_noop_on_uniform_data():
+    """Already-balanced clusters come back unchanged (round 0 finds no
+    oversized list and returns the input centroids verbatim)."""
+    from faiss_tpu.clustering import Kmeans, balance_centroids
+
+    rng = np.random.default_rng(3)
+    d, k, n = 8, 8, 4096
+    comps = (50.0 * rng.standard_normal((k, d))).astype(np.float32)
+    x = (comps[np.arange(n) % k]
+         + 0.01 * rng.standard_normal((n, d))).astype(np.float32)
+    km = Kmeans(d, k, niter=6, seed=5)
+    km.train(x)
+    bal = balance_centroids(x, km.centroids, cap_ratio=2.0)
+    np.testing.assert_array_equal(bal, km.centroids)

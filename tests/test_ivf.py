@@ -629,3 +629,38 @@ def test_dense_fused_selector_and_removals(monkeypatch):
                                    force_xla_dense=True)
     np.testing.assert_array_equal(I, np.asarray(out_xla[1])[: len(xq)])
     assert ((I >= 0) & (I < 1500)).all()
+
+
+def test_balanced_training_caps_skew():
+    """balance=2.0 (the default) splits oversized clusters at train time so
+    the fine scan's static chunk budget (_chunk_budget: sum of the nprobe
+    FATTEST lists) stops paying the k-means skew tax (r4d.log: 1M mixture
+    max list 9.5x mean). Skewed mixture: the balanced quantizer's max
+    occupancy must come out well under the raw one, search must stay exact
+    vs the probed-list oracle, and balance=0 must restore raw behavior."""
+    rng = np.random.default_rng(5)
+    ncomp, d, k, n = 64, 16, 16, 8000
+    cents = rng.integers(-8, 8, (ncomp, d)).astype(np.float32) * 4
+    w = rng.dirichlet(np.full(ncomp, 0.25))
+    comp = rng.choice(ncomp, n, p=w)
+    xb = cents[comp] + rng.integers(-1, 2, (n, d))
+    xb = xb.astype(np.float32)
+    xq = xb[rng.choice(n, 24, replace=False)] + 1.0
+
+    raw = TpuIndexIVFFlat(d, k, nprobe=4, seed=3, balance=0)
+    bal = TpuIndexIVFFlat(d, k, nprobe=4, seed=3)  # default balance=2.0
+    for ix in (raw, bal):
+        ix.train(xb)
+        ix.add(xb)
+    craw = raw.list_sizes()
+    cbal = bal.list_sizes()
+    assert craw.sum() == cbal.sum() == n
+    # the balanced max should drop decisively toward the cap (the train
+    # sample and the added rows are the same distribution here)
+    assert cbal.max() < craw.max()
+    assert cbal.max() <= 3.0 * n / k  # cap 2x + add-time drift headroom
+    # exactness within probed lists is routing-independent
+    D, I = bal.search(xq, 5)
+    Do, Io = ivf_oracle(bal, xb, xq, 5, 4)
+    np.testing.assert_array_equal(I, Io)
+    np.testing.assert_array_equal(D, Do)
