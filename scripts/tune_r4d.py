@@ -87,13 +87,24 @@ def main():
     def build_fn(idx, nprobe, kind):
         nb = ivf_mod._chunk_budget(idx._counts, min(nprobe, idx.nlist),
                                    ivf_mod._CHUNK)
+        # mirror _search_device's dispatch: nprobe==nlist rides the flat
+        # fused program over the pool prefix when eligible (r5 — the first
+        # r4d2 DENSE row measured the bypassed XLA sweep at 16.9 ms)
+        nsweep = (ivf_mod._round_budget(idx._used_chunks) * ivf_mod._CHUNK
+                  if nprobe >= idx.nlist else 0)
+        dense_fused = bool(nsweep) and idx._dense_fused_ok(nsweep)
         f = ivf_mod._build_ivf_search_fn(
             nlist=idx.nlist, nprobe=nprobe, nq_pad=nq_pad, k=K,
-            d_pad=d_pad, metric=MetricType.L2, kind=kind, nbudget=nb)
+            d_pad=d_pad, metric=MetricType.L2, kind=kind, nbudget=nb,
+            nsweep=nsweep, dense_fused=dense_fused)
         print(f"  {kind}/nlist={idx.nlist} nprobe={nprobe} budget={nb} "
-              f"ncand={nb * ivf_mod._CHUNK}", flush=True)
+              f"ncand={nb * ivf_mod._CHUNK} dense_fused={dense_fused}",
+              flush=True)
+        sc = idx._scales
+        inorm = idx._int8_qn
+        if dense_fused:
+            return lambda *a: f(*a, None, sc, inorm)[:2]
         if kind == "int8":
-            sc = idx._scales
             return lambda *a: f(*a, None, sc)
         return f
 

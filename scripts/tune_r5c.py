@@ -51,8 +51,12 @@ def timed_add(ivf, x, tag):
     ts = {}
     t0 = time.monotonic()
     norms = (x.astype(np.float64) ** 2).sum(1).astype(np.float32)
-    xp = np.zeros((n, ivf.d_pad), np.float32)
-    xp[:, : ivf.d] = x
+    from faiss_tpu.storage import _round_up
+    blk = min(ivf_mod._ASSIGN_BLK,
+              max(ivf_mod._QB, _round_up(n, ivf_mod._QB)))
+    n_pad = _round_up(n, blk)
+    xp = np.zeros((n_pad, ivf.d_pad), np.float32)
+    xp[:n, : ivf.d] = x
     ts["pad"] = time.monotonic() - t0
 
     t0 = time.monotonic()
@@ -62,10 +66,10 @@ def timed_add(ivf, x, tag):
 
     t0 = time.monotonic()
     fn = ivf.res.cached(
-        ("ivf_assign", n, ivf.d_pad, ivf._cents.shape[0], ivf.metric),
-        lambda: ivf_mod._build_assign_fn(n_pad=n, metric=ivf.metric))
+        ("ivf_assign", n_pad, ivf.d_pad, ivf._cents.shape[0], ivf.metric),
+        lambda: ivf_mod._build_assign_fn(n_pad=n_pad, metric=ivf.metric))
     assign = np.asarray(jax.device_get(
-        fn(xd, ivf._cents, ivf._cnorms))).astype(np.int64)
+        fn(xd, ivf._cents, ivf._cnorms)))[:n].astype(np.int64)
     ts["assign"] = time.monotonic() - t0
 
     t0 = time.monotonic()
@@ -100,7 +104,7 @@ def timed_add(ivf, x, tag):
     ts["ctable"] = time.monotonic() - t0
 
     t0 = time.monotonic()
-    rows = xd.astype(ivf._dtype)
+    rows = xd[:n].astype(ivf._dtype)  # the real add() passes xd[:n] too
     sl = jnp.asarray(slots.astype(np.int32))
     ivf._data = ivf_mod._scatter_rows(ivf._data, rows, sl)
     ivf._norms = ivf_mod._scatter_rows(ivf._norms, jnp.asarray(norms), sl)
