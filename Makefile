@@ -7,7 +7,10 @@ PY ?= python
 .PHONY: test bench native clean lint
 
 test:
-	$(PY) -m pytest tests/ -x -q
+	# 64 MB stack: the XLA CPU compile of the biggest interpret-mode
+	# shard_map programs recurses near the default 8 MB limit (full-suite
+	# segfaults in sharded-IVF compile, 2026-08-21; standalone passed)
+	bash -c 'ulimit -s 65536 2>/dev/null; exec $(PY) -m pytest tests/ -x -q'
 
 bench:
 	$(PY) bench.py

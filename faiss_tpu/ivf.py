@@ -404,7 +404,13 @@ def _build_ivf_search_fn(*, nlist: int, nprobe: int, nq_pad: int,
             s = rescore_groups_pallas(
                 qeff, data, norms, cidx, jnp.int32(data.shape[0]),
                 metric=metric, nv_eff=data.shape[0], interpret=interpret,
-                ranks_per_step=_SCAN_RANKS, sel=sel_eff)
+                # deep DMA pipelining is a HARDWARE latency lever; in
+                # interpret mode (CPU tests) rj=8 quadruples the traced
+                # kernel body and the XLA CPU compile of the biggest
+                # programs segfaults marginally (full-suite runs died in
+                # sharded-IVF compile, /tmp/test_r5.log; standalone passed)
+                ranks_per_step=2 if interpret else _SCAN_RANKS,
+                sel=sel_eff)
             # dead budget positions point at chunk 0 — post-mask them
             s = jnp.where(jnp.broadcast_to(okc[:, :, None],
                                            (nq_pad, nbudget, chunk)

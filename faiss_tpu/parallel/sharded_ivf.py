@@ -97,7 +97,11 @@ def _build_sharded_ivf_search_fn(*, mesh, nlist: int, nprobe: int,
             s = rescore_groups_pallas(
                 qeff, data, norms, cidx, jnp.int32(data.shape[0]),
                 metric=metric, nv_eff=data.shape[0], interpret=interpret,
-                ranks_per_step=_SCAN_RANKS, sel=sel_eff)
+                # rj=8 only on hardware — see ivf._probed_scores (the
+                # interpret-mode body at rj=8 marginally segfaults the XLA
+                # CPU compiler on the 8-device shard_map program)
+                ranks_per_step=2 if interpret else _SCAN_RANKS,
+                sel=sel_eff)
             s = jnp.where(jnp.broadcast_to(okc[:, :, None],
                                            (nq_pad, nbudget, chunk)
                                            ).reshape(nq_pad, ncand),

@@ -32,6 +32,9 @@ run_step() {
 }
 P=$LOG/pipeline5.log
 echo "pipeline5 start $(date -u +%FT%TZ) commit $(git rev-parse --short HEAD)" > $P
+FT_NV=10000000 FT_NLIST=4096 FT_STORAGE=bf16,int8 FT_DATA=mix FT_BATCHES=50 FT_SKIP_FLAT=1 \
+  run_step ivf10m_v4 python scripts/bench_ivf_r4.py
+echo "ivf10m_v4 rc=$? $(date -u +%FT%TZ)" >> $P
 run_step r5c2 python scripts/tune_r5c.py
 echo "r5c2 rc=$? $(date -u +%FT%TZ)" >> $P
 run_step r4d4 python scripts/tune_r4d.py
@@ -41,9 +44,11 @@ FT_NV=10000000 FT_NLIST=4096 FT_NLIST2=0 \
 echo "r4d_10m rc=$? $(date -u +%FT%TZ)" >> $P
 run_step r5e python scripts/tune_r5e.py
 echo "r5e rc=$? $(date -u +%FT%TZ)" >> $P
+run_step r5f python scripts/tune_r5f.py
+echo "r5f rc=$? $(date -u +%FT%TZ)" >> $P
+run_step smoke env FAISS_TPU_TEST_PLATFORM=tpu python -m pytest tests/test_tpu_smoke.py -q
+echo "smoke rc=$? $(date -u +%FT%TZ)" >> $P
 FT_NV=50000000 FT_NLIST=8192 FT_STORAGE=int8 FT_DATA=mix FT_BATCHES=30 FT_SKIP_FLAT=1 \
   run_step ivf50m python scripts/bench_ivf_r4.py
 echo "ivf50m rc=$? $(date -u +%FT%TZ)" >> $P
-run_step smoke env FAISS_TPU_TEST_PLATFORM=tpu python -m pytest tests/test_tpu_smoke.py -q
-echo "smoke rc=$? $(date -u +%FT%TZ)" >> $P
 echo "pipeline5 END $(date -u +%FT%TZ)" >> $P
