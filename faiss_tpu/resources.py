@@ -158,6 +158,7 @@ class TpuResources:
             raise RuntimeError("no JAX devices available")
         self._caps = query_device_capabilities(self._devices)
         self._cache: Dict[Any, Any] = {}
+        self._pending: Dict[Any, threading.Event] = {}
         self._lock = threading.Lock()
         self._mesh: Optional[jax.sharding.Mesh] = None
 
@@ -186,13 +187,45 @@ class TpuResources:
 
     # -- compiled-program cache ---------------------------------------------
     def cached(self, key, builder):
-        """Return cache[key], building it under the lock if absent."""
+        """Return cache[key], building it once if absent.
+
+        The builder runs OUTSIDE the global lock under a per-key event:
+        program builds can be multi-minute remote compiles, and holding the
+        one lock across a build wedged every concurrent search on the index
+        (the 10M pipelined hang, measurements_r5/ivf10m_v3.log — one
+        certificate-fallback tier compile under depth-64 serving blocked
+        all 64 workers' cache lookups). Concurrent callers of the SAME key
+        wait on its event; other keys proceed."""
         with self._lock:
-            fn = self._cache.get(key)
-            if fn is None:
-                fn = builder()
-                self._cache[key] = fn
-            return fn
+            got = self._cache.get(key)
+            if got is None:
+                pending = self._pending.get(key)
+                if pending is None:
+                    pending = self._pending[key] = threading.Event()
+                    owner = True
+                else:
+                    owner = False
+        if got is not None:
+            return got
+        if not owner:
+            pending.wait()
+            with self._lock:
+                if key in self._cache:
+                    return self._cache[key]
+            # builder raised in the owner — re-attempt in this thread
+            return self.cached(key, builder)
+        try:
+            fn = builder()
+        except BaseException:
+            with self._lock:
+                self._pending.pop(key, None)
+            pending.set()
+            raise
+        with self._lock:
+            self._cache[key] = fn
+            self._pending.pop(key, None)
+        pending.set()
+        return fn
 
     def cache_info(self) -> Dict[str, int]:
         with self._lock:
