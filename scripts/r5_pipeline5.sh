@@ -50,6 +50,8 @@ run_step smoke env FAISS_TPU_TEST_PLATFORM=tpu python -m pytest tests/test_tpu_s
 echo "smoke rc=$? $(date -u +%FT%TZ)" >> $P
 run_step r5g python scripts/tune_r5g.py
 echo "r5g rc=$? $(date -u +%FT%TZ)" >> $P
+run_step r5h python scripts/tune_r5h.py
+echo "r5h rc=$? $(date -u +%FT%TZ)" >> $P
 FT_NV=50000000 FT_NLIST=8192 FT_STORAGE=int8 FT_DATA=mix FT_BATCHES=30 FT_SKIP_FLAT=1 \
   run_step ivf50m python scripts/bench_ivf_r4.py
 echo "ivf50m rc=$? $(date -u +%FT%TZ)" >> $P
