@@ -4,7 +4,7 @@
 cd /root/repo
 LOG=measurements_r5
 mkdir -p $LOG
-until grep -q "pipeline5 END" $LOG/pipeline5.log 2>/dev/null; do sleep 60; done
+until grep -q "pipeline5b END" $LOG/pipeline5b.log 2>/dev/null; do sleep 60; done
 probe() {
   until timeout 2400 python -c "import jax; assert jax.devices()[0].platform == 'tpu'" 2>/dev/null; do
     echo "probe: TPU unavailable $(date -u +%FT%TZ); sleeping 300s" >> $LOG/probe.log
