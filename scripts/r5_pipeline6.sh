@@ -31,6 +31,8 @@ run_step() {
 }
 P=$LOG/pipeline6.log
 echo "pipeline6 start $(date -u +%FT%TZ) commit $(git rev-parse --short HEAD)" > $P
+run_step r5j python scripts/tune_r5j.py
+echo "r5j rc=$? $(date -u +%FT%TZ)" >> $P
 run_step r5f2 python scripts/tune_r5f2.py
 echo "r5f2 rc=$? $(date -u +%FT%TZ)" >> $P
 run_step r5c3 python scripts/tune_r5c.py
