@@ -1182,9 +1182,13 @@ def rescore_groups_pallas(
 RESCORE_SELECT_MAX_K = 32
 # final selection: candidate rows at least this wide route to the exact
 # two-stage blocked top-k (topk.blocked_topk_scores) instead of one flat
-# lax.top_k — only reachable at large k (small k runs the final-select
-# kernel), where the flat sort over kg·GROUP columns dominates (r3n)
-FINAL_BLOCKED_MIN = 65536
+# lax.top_k. MEASURED NEGATIVE (r5): head-to-head in one process at
+# nq=8/k=1024/131k columns the blocked form is 32% SLOWER e2e (2.978 vs
+# 2.252 ms — measurements_r5/r5g.log; XLA's batched top-1024-of-8192
+# stage-1 costs more than the single wide top_k it replaces). Routing
+# disabled; the code + its exactness tests stay for narrower future k/m
+# shapes where stage-1 selects a smaller fraction.
+FINAL_BLOCKED_MIN = 1 << 30
 _BIG_ID = np.int32(1 << 30)  # plain numpy: a jnp const would be captured
 
 

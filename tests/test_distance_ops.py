@@ -168,6 +168,10 @@ def test_fused_large_k_blocked_final_select_parity():
     orig_min = pf.FINAL_BLOCKED_MIN
     try:
         xb, xq = make_data(140000, 8, 32, seed=77)
+        # r5: default routing is flat (the blocked form measured 32% slower
+        # e2e on hardware, r5g.log) — force the blocked path here so its
+        # exactness contract stays enforced
+        pf.FINAL_BLOCKED_MIN = 65536
         idx = faiss_tpu.TpuIndexFlat(32, storage="bf16")
         idx.add(xb)
         D, I = idx.search(xq, 1024)   # kg=1028 -> s width 131k -> blocked
